@@ -1,0 +1,135 @@
+"""Pallas TPU flash-attention forward kernel.
+
+TPU-native replacement for the reference's xformers
+``memory_efficient_attention`` / torch-SDP backends
+(/root/reference/diffbir/model/attention.py:113-216,
+/root/reference/diffbir/model/vae.py:168-283).
+
+Online-softmax tiling: grid = (batch*heads, q_blocks, kv_blocks); kv is the
+innermost (sequential) dimension; fp32 running max / sum / accumulator live in
+VMEM scratch and the output tile is written on the last kv step.
+
+Shapes are UNet/VAE scale: self-attention over (h·w) <= 4096 tokens at 512^2
+latents and cross-attention to 77 text tokens (padded to 128 by the caller via
+``pad_kv``). head_dim is 64 (UNet) or 512 (VAE single-head; handled by XLA
+path instead).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _block_sizes(sq: int, skv: int):
+    bq = min(512, sq)
+    bk = min(512, skv)
+    return bq, bk
+
+
+def supported(q, k, v, mask=None, bias=None) -> bool:
+    if mask is not None or bias is not None:
+        return False
+    if q.ndim != 4:
+        return False
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    if d not in (64, 128, 256):
+        return False
+    bq, bk = _block_sizes(sq, skv)
+    # kv remainder handled by padding; q must tile evenly and be lane-sized
+    return sq % bq == 0 and sq >= 128 and skv >= 16
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale, kv_len):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
+
+    bk = k.shape[0]
+    # mask out kv padding (skv rounded up to the block size by the caller)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * bk
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]  # (BQ, 128) — replicated along lanes
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+    m_next = jnp.maximum(m_prev, m_cur)  # (BQ, 128)
+    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (BQ, 1)
+    p = jnp.exp(s - m_next[:, :1])  # (BQ, BK)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_next
+
+    v = v_ref[0]  # (BK, D)
+    pv = jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )  # (BQ, D)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sm_scale = d ** -0.5
+    bq, bk = _block_sizes(sq, skv)
+
+    # fold heads into batch; layout (BH, S, D)
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    # pad kv to a multiple of bk (masked inside the kernel)
+    pad = (-skv) % bk
+    if pad:
+        kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
+    nq, nk = sq // bq, (skv + pad) // bk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, sm_scale=sm_scale, kv_len=skv),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
+            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
+            pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
