@@ -1,0 +1,369 @@
+"""SD2.1 UNet + IRControlNet, NHWC flax modules.
+
+Behavioral parity targets:
+- UNetModel: /root/reference/diffbir/model/unet.py:361-719 (ADM-style UNet,
+  model_channels=320, mult (1,2,4,4), SpatialTransformer at ds 4/2/1,
+  num_head_channels=64, context_dim=1024, linear transformer projections).
+- SpatialTransformer stack: /root/reference/diffbir/model/attention.py
+  (pre-LN self-attn -> cross-attn -> GEGLU FF, zero-init output proj).
+- ControlledUnetModel / ControlNet: /root/reference/diffbir/model/controlnet.py
+  (hint concatenated at the input conv; 13 zero-conv residuals).
+
+TPU-first design decisions:
+- NHWC layout; channel concat on the last axis.
+- control residuals are a tuple argument (pure function), not a mutable list.
+- fp32 GroupNorm + fp32 softmax inside bf16 compute (see layers.py/ops).
+- gradient checkpointing via ``nn.remat`` on ResBlock/SpatialTransformer when
+  ``use_checkpoint`` (reference uses a custom CheckpointFunction, util.py:85-125).
+
+Module names are chosen so flax param paths mirror the torch checkpoint keys
+(weights/convert.py does a mechanical string+layout transform).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+from .layers import (
+    Dtype,
+    GroupNorm32,
+    LayerNormFp32,
+    conv,
+    dense,
+    nearest_upsample_2x,
+    timestep_embedding,
+)
+
+
+class ResBlock(nn.Module):
+    """GN32 -> SiLU -> conv3x3 -> +temb -> GN32 -> SiLU -> zero-conv3x3, skip."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        h = GroupNorm32(name="in_layers_0")(x)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, dtype=self.dtype, name="in_layers_2")(h)
+        e = dense(self.out_channels, dtype=self.dtype, name="emb_layers_1")(nn.silu(emb))
+        h = h + e[:, None, None, :].astype(h.dtype)
+        h = GroupNorm32(name="out_layers_0")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_layers_3")(h)
+        if x.shape[-1] != self.out_channels:
+            x = conv(self.out_channels, 1, padding=0, dtype=self.dtype, name="skip_connection")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None."""
+
+    heads: int
+    dim_head: int
+    query_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        b, sq, _ = q.shape
+        skv = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, skv, self.heads, self.dim_head)
+        v = v.reshape(b, skv, self.heads, self.dim_head)
+        out = attention(q, k, v).reshape(b, sq, inner)
+        return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    inner_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+    disable_self_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        a1 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn1")
+        x = x + a1(LayerNormFp32(name="norm1")(x), context if self.disable_self_attn else None)
+        a2 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn2")
+        x = x + a2(LayerNormFp32(name="norm2")(x), context)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormFp32(name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    use_linear: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm32(eps=1e-6, name="norm")(x)
+        if not self.use_linear:
+            x = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, x.shape[-1])
+        if self.use_linear:
+            x = dense(inner, dtype=self.dtype, name="proj_in")(x)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, dtype=self.dtype,
+                name=f"transformer_blocks_{d}",
+            )(x, context)
+        if self.use_linear:
+            x = dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, inner)
+            x = conv(c, 1, padding=0, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        return x + x_in
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return conv(self.channels, 3, stride=2, dtype=self.dtype, name="op")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return conv(self.channels, 3, dtype=self.dtype, name="conv")(nearest_upsample_2x(x))
+
+
+def _head_split(ch: int, num_head_channels: int) -> Tuple[int, int]:
+    return ch // num_head_channels, num_head_channels
+
+
+class UNetModel(nn.Module):
+    """SD2.1-base UNet with optional ControlNet residual injection.
+
+    ``control`` (when given) is a tuple of 13 NHWC tensors: one per encoder
+    block output (12) plus the middle block (1). This single module covers
+    both UNetModel and ControlledUnetModel in the reference.
+    """
+
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    use_linear_in_transformer: bool = True
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        control: Optional[Tuple[jax.Array, ...]] = None,
+        only_mid_control: bool = False,
+    ) -> jax.Array:
+        mc = self.model_channels
+        ted = mc * 4
+        Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb = dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb)
+        emb = dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        h = x.astype(self.dtype)
+        emb = emb.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        hs = []
+        h = conv(mc, 3, dtype=self.dtype, name="input_blocks_0_0")(h)
+        hs.append(h)
+        ch, ds, idx = mc, 1, 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h, emb)
+                ch = mult * mc
+                if ds in self.attention_resolutions:
+                    heads, dh = _head_split(ch, self.num_head_channels)
+                    h = ST(
+                        ch, heads, dh, depth=self.transformer_depth,
+                        use_linear=self.use_linear_in_transformer,
+                        dtype=self.dtype, name=f"input_blocks_{idx}_1",
+                    )(h, context)
+                hs.append(h)
+                idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h)
+                hs.append(h)
+                ds *= 2
+                idx += 1
+
+        heads, dh = _head_split(ch, self.num_head_channels)
+        h = Res(ch, dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = ST(
+            ch, heads, dh, depth=self.transformer_depth,
+            use_linear=self.use_linear_in_transformer,
+            dtype=self.dtype, name="middle_block_1",
+        )(h, context)
+        h = Res(ch, dtype=self.dtype, name="middle_block_2")(h, emb)
+
+        if control is not None:
+            h = h + control[-1].astype(h.dtype)
+
+        idx = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                if control is not None and not only_mid_control:
+                    skip = skip + control[len(hs)].astype(skip.dtype)
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = Res(mc * mult, dtype=self.dtype, name=f"output_blocks_{idx}_0")(h, emb)
+                ch = mc * mult
+                j = 1
+                if ds in self.attention_resolutions:
+                    heads, dh = _head_split(ch, self.num_head_channels)
+                    h = ST(
+                        ch, heads, dh, depth=self.transformer_depth,
+                        use_linear=self.use_linear_in_transformer,
+                        dtype=self.dtype, name=f"output_blocks_{idx}_{j}",
+                    )(h, context)
+                    j += 1
+                if level and i == self.num_res_blocks:
+                    h = Upsample(ch, dtype=self.dtype, name=f"output_blocks_{idx}_{j}")(h)
+                    ds //= 2
+                idx += 1
+
+        h = GroupNorm32(name="out_0")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, 3, zero_init=True, dtype=jnp.float32, name="out_2")(
+            h.astype(jnp.float32)
+        )
+        return h
+
+
+class ControlNet(nn.Module):
+    """IRControlNet: UNet encoder+middle copy, VAE-latent hint concatenated at
+    the input conv (in_channels + hint_channels), zero-conv per block output.
+
+    Returns a tuple of 13 residual tensors (12 encoder + 1 middle).
+    Parity: /root/reference/diffbir/model/controlnet.py:50-328.
+    """
+
+    in_channels: int = 4
+    hint_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_head_channels: int = 64
+    transformer_depth: int = 1
+    context_dim: int = 1024
+    use_linear_in_transformer: bool = True
+    use_checkpoint: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        hint: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+    ) -> Tuple[jax.Array, ...]:
+        mc = self.model_channels
+        ted = mc * 4
+        Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb = dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb)
+        emb = dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        h = jnp.concatenate([x, hint], axis=-1).astype(self.dtype)
+        emb = emb.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        outs = []
+        h = conv(mc, 3, dtype=self.dtype, name="input_blocks_0_0")(h)
+        outs.append(conv(mc, 1, padding=0, zero_init=True, dtype=self.dtype, name="zero_convs_0_0")(h))
+        ch, ds, idx = mc, 1, 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h, emb)
+                ch = mult * mc
+                if ds in self.attention_resolutions:
+                    heads, dh = _head_split(ch, self.num_head_channels)
+                    h = ST(
+                        ch, heads, dh, depth=self.transformer_depth,
+                        use_linear=self.use_linear_in_transformer,
+                        dtype=self.dtype, name=f"input_blocks_{idx}_1",
+                    )(h, context)
+                outs.append(
+                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs_{idx}_0")(h)
+                )
+                idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h)
+                outs.append(
+                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs_{idx}_0")(h)
+                )
+                ds *= 2
+                idx += 1
+
+        heads, dh = _head_split(ch, self.num_head_channels)
+        h = Res(ch, dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = ST(
+            ch, heads, dh, depth=self.transformer_depth,
+            use_linear=self.use_linear_in_transformer,
+            dtype=self.dtype, name="middle_block_1",
+        )(h, context)
+        h = Res(ch, dtype=self.dtype, name="middle_block_2")(h, emb)
+        outs.append(conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name="middle_block_out_0")(h))
+        return tuple(outs)

@@ -6,12 +6,20 @@ sharding tests run on 8 virtual CPU devices (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pins JAX_PLATFORMS=axon (tunneled TPU); tests must
+# run on the virtual CPU mesh, so override unconditionally unless the caller
+# explicitly asks for another platform via DIFFBIR_TPU_TEST_PLATFORM.
+os.environ["JAX_PLATFORMS"] = os.environ.get("DIFFBIR_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/diffbir_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
