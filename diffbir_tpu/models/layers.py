@@ -6,10 +6,9 @@ Precision policy (mirrors the reference's autocast semantics,
 - GroupNorm / LayerNorm statistics in fp32, output cast back to compute dtype
 - softmax/QK products fp32 (see ops/attention.py)
 
-Naming: modules are given explicit ``name=`` values so that a flax param path
-is a pure string transform of the reference torch checkpoint key (digit
-segments merged into their parent: ``input_blocks.1.0.in_layers.0.weight`` →
-``input_blocks_1_0/in_layers_0``). See weights/convert.py.
+Naming: modules are given explicit ``name=`` values equal to the torch
+checkpoint key fragments (``input_blocks.1.0`` etc.), so a flax param path
+joined with '.' IS the torch key prefix. See weights/convert.py.
 """
 
 from __future__ import annotations

@@ -48,14 +48,14 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
-        h = GroupNorm32(name="in_layers_0")(x)
+        h = GroupNorm32(name="in_layers.0")(x)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, dtype=self.dtype, name="in_layers_2")(h)
-        e = dense(self.out_channels, dtype=self.dtype, name="emb_layers_1")(nn.silu(emb))
+        h = conv(self.out_channels, 3, dtype=self.dtype, name="in_layers.2")(h)
+        e = dense(self.out_channels, dtype=self.dtype, name="emb_layers.1")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
-        h = GroupNorm32(name="out_layers_0")(h)
+        h = GroupNorm32(name="out_layers.0")(h)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_layers_3")(h)
+        h = conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_layers.3")(h)
         if x.shape[-1] != self.out_channels:
             x = conv(self.out_channels, 1, padding=0, dtype=self.dtype, name="skip_connection")(x)
         return x + h
@@ -82,7 +82,7 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, skv, self.heads, self.dim_head)
         v = v.reshape(b, skv, self.heads, self.dim_head)
         out = attention(q, k, v).reshape(b, sq, inner)
-        return dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        return dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
 
 
 class GEGLU(nn.Module):
@@ -103,8 +103,8 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
-        return dense(self.dim, dtype=self.dtype, name="net_2")(h)
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net.0")(x)
+        return dense(self.dim, dtype=self.dtype, name="net.2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -146,7 +146,7 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, dtype=self.dtype,
-                name=f"transformer_blocks_{d}",
+                name=f"transformer_blocks.{d}",
             )(x, context)
         if self.use_linear:
             x = dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
@@ -215,44 +215,44 @@ class UNetModel(nn.Module):
         ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
 
         t_emb = timestep_embedding(timesteps, mc)
-        emb = dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb)
-        emb = dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        emb = dense(ted, dtype=self.dtype, name="time_embed.0")(t_emb)
+        emb = dense(ted, dtype=self.dtype, name="time_embed.2")(nn.silu(emb))
 
         h = x.astype(self.dtype)
         emb = emb.astype(self.dtype)
         context = context.astype(self.dtype)
 
         hs = []
-        h = conv(mc, 3, dtype=self.dtype, name="input_blocks_0_0")(h)
+        h = conv(mc, 3, dtype=self.dtype, name="input_blocks.0.0")(h)
         hs.append(h)
         ch, ds, idx = mc, 1, 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h, emb)
+                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h, emb)
                 ch = mult * mc
                 if ds in self.attention_resolutions:
                     heads, dh = _head_split(ch, self.num_head_channels)
                     h = ST(
                         ch, heads, dh, depth=self.transformer_depth,
                         use_linear=self.use_linear_in_transformer,
-                        dtype=self.dtype, name=f"input_blocks_{idx}_1",
+                        dtype=self.dtype, name=f"input_blocks.{idx}.1",
                     )(h, context)
                 hs.append(h)
                 idx += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h)
+                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h)
                 hs.append(h)
                 ds *= 2
                 idx += 1
 
         heads, dh = _head_split(ch, self.num_head_channels)
-        h = Res(ch, dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = Res(ch, dtype=self.dtype, name="middle_block.0")(h, emb)
         h = ST(
             ch, heads, dh, depth=self.transformer_depth,
             use_linear=self.use_linear_in_transformer,
-            dtype=self.dtype, name="middle_block_1",
+            dtype=self.dtype, name="middle_block.1",
         )(h, context)
-        h = Res(ch, dtype=self.dtype, name="middle_block_2")(h, emb)
+        h = Res(ch, dtype=self.dtype, name="middle_block.2")(h, emb)
 
         if control is not None:
             h = h + control[-1].astype(h.dtype)
@@ -264,7 +264,7 @@ class UNetModel(nn.Module):
                 if control is not None and not only_mid_control:
                     skip = skip + control[len(hs)].astype(skip.dtype)
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = Res(mc * mult, dtype=self.dtype, name=f"output_blocks_{idx}_0")(h, emb)
+                h = Res(mc * mult, dtype=self.dtype, name=f"output_blocks.{idx}.0")(h, emb)
                 ch = mc * mult
                 j = 1
                 if ds in self.attention_resolutions:
@@ -272,17 +272,17 @@ class UNetModel(nn.Module):
                     h = ST(
                         ch, heads, dh, depth=self.transformer_depth,
                         use_linear=self.use_linear_in_transformer,
-                        dtype=self.dtype, name=f"output_blocks_{idx}_{j}",
+                        dtype=self.dtype, name=f"output_blocks.{idx}.{j}",
                     )(h, context)
                     j += 1
                 if level and i == self.num_res_blocks:
-                    h = Upsample(ch, dtype=self.dtype, name=f"output_blocks_{idx}_{j}")(h)
+                    h = Upsample(ch, dtype=self.dtype, name=f"output_blocks.{idx}.{j}")(h)
                     ds //= 2
                 idx += 1
 
-        h = GroupNorm32(name="out_0")(h)
+        h = GroupNorm32(name="out.0")(h)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, zero_init=True, dtype=jnp.float32, name="out_2")(
+        h = conv(self.out_channels, 3, zero_init=True, dtype=jnp.float32, name="out.2")(
             h.astype(jnp.float32)
         )
         return h
@@ -323,47 +323,47 @@ class ControlNet(nn.Module):
         ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
 
         t_emb = timestep_embedding(timesteps, mc)
-        emb = dense(ted, dtype=self.dtype, name="time_embed_0")(t_emb)
-        emb = dense(ted, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        emb = dense(ted, dtype=self.dtype, name="time_embed.0")(t_emb)
+        emb = dense(ted, dtype=self.dtype, name="time_embed.2")(nn.silu(emb))
 
         h = jnp.concatenate([x, hint], axis=-1).astype(self.dtype)
         emb = emb.astype(self.dtype)
         context = context.astype(self.dtype)
 
         outs = []
-        h = conv(mc, 3, dtype=self.dtype, name="input_blocks_0_0")(h)
-        outs.append(conv(mc, 1, padding=0, zero_init=True, dtype=self.dtype, name="zero_convs_0_0")(h))
+        h = conv(mc, 3, dtype=self.dtype, name="input_blocks.0.0")(h)
+        outs.append(conv(mc, 1, padding=0, zero_init=True, dtype=self.dtype, name="zero_convs.0.0")(h))
         ch, ds, idx = mc, 1, 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h, emb)
+                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h, emb)
                 ch = mult * mc
                 if ds in self.attention_resolutions:
                     heads, dh = _head_split(ch, self.num_head_channels)
                     h = ST(
                         ch, heads, dh, depth=self.transformer_depth,
                         use_linear=self.use_linear_in_transformer,
-                        dtype=self.dtype, name=f"input_blocks_{idx}_1",
+                        dtype=self.dtype, name=f"input_blocks.{idx}.1",
                     )(h, context)
                 outs.append(
-                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs_{idx}_0")(h)
+                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs.{idx}.0")(h)
                 )
                 idx += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks_{idx}_0")(h)
+                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h)
                 outs.append(
-                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs_{idx}_0")(h)
+                    conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name=f"zero_convs.{idx}.0")(h)
                 )
                 ds *= 2
                 idx += 1
 
         heads, dh = _head_split(ch, self.num_head_channels)
-        h = Res(ch, dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = Res(ch, dtype=self.dtype, name="middle_block.0")(h, emb)
         h = ST(
             ch, heads, dh, depth=self.transformer_depth,
             use_linear=self.use_linear_in_transformer,
-            dtype=self.dtype, name="middle_block_1",
+            dtype=self.dtype, name="middle_block.1",
         )(h, context)
-        h = Res(ch, dtype=self.dtype, name="middle_block_2")(h, emb)
-        outs.append(conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name="middle_block_out_0")(h))
+        h = Res(ch, dtype=self.dtype, name="middle_block.2")(h, emb)
+        outs.append(conv(ch, 1, padding=0, zero_init=True, dtype=self.dtype, name="middle_block_out.0")(h))
         return tuple(outs)

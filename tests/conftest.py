@@ -20,6 +20,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/diffbir_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# parity tests compare fp32 against torch: disable bf16-pass matmul lowering
+jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
