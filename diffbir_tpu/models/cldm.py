@@ -1,0 +1,188 @@
+"""ControlLDM: the stage-2 generation module {UNet, VAE, CLIP, ControlNet}.
+
+Behavioral parity target: /root/reference/diffbir/model/cldm.py:20-210.
+Differences by design (functional JAX):
+- parameters live in an explicit pytree ``{"unet","vae","clip","controlnet"}``
+  instead of module state; all methods are pure and jittable.
+- SD-checkpoint surgery (module_map prefixes), controlnet-from-unet zero-pad
+  init, and fp16-cast policy are reproduced as param-tree transforms.
+- mixed precision is a construction-time dtype on the flax modules (GroupNorm
+  stays fp32 inside, see layers.GroupNorm32) rather than a mutating cast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..weights import convert
+from .clip import CLIPTextEncoder
+from .unet import ControlNet, UNetModel
+from .vae import AutoencoderKL
+
+Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlLDM:
+    unet: UNetModel
+    vae: AutoencoderKL
+    clip: CLIPTextEncoder
+    controlnet: ControlNet
+    scale_factor: float = 0.18215
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def sd21(cls, dtype=jnp.bfloat16, use_checkpoint: bool = False) -> "ControlLDM":
+        """Standard SD2.1-base + IRControlNet sizes (configs/inference/cldm.yaml)."""
+        return cls(
+            unet=UNetModel(dtype=dtype, use_checkpoint=use_checkpoint),
+            vae=AutoencoderKL(dtype=dtype),
+            clip=CLIPTextEncoder(dtype=dtype),
+            controlnet=ControlNet(dtype=dtype, use_checkpoint=use_checkpoint),
+        )
+
+    @classmethod
+    def tiny(cls, dtype=jnp.float32) -> "ControlLDM":
+        """Small CPU-runnable config for tests (still a true f8 VAE)."""
+        kw = dict(
+            model_channels=32, num_head_channels=16, channel_mult=(1, 2),
+            attention_resolutions=(2, 1), context_dim=64, dtype=dtype,
+        )
+        return cls(
+            unet=UNetModel(**kw),
+            vae=AutoencoderKL(ch=32, ch_mult=(1, 1, 1, 1), num_res_blocks=1, dtype=dtype),
+            clip=CLIPTextEncoder(width=64, heads=4, layers=3, dtype=dtype),
+            controlnet=ControlNet(hint_channels=4, **kw),
+        )
+
+    # ------------------------------------------------------------------ #
+    def init_params(self, rng: jax.Array, latent_hw: Tuple[int, int] = (8, 8)) -> Params:
+        """Random-init full param tree (shapes only driven by configs)."""
+        h, w = latent_hw
+        ph, pw = h * 8, w * 8
+        x = jnp.zeros((1, h, w, 4))
+        t = jnp.zeros((1,))
+        ctx = jnp.zeros((1, self.clip.context_length, self.clip.width))
+        toks = jnp.zeros((1, self.clip.context_length), jnp.int32)
+        img = jnp.zeros((1, ph, pw, 3))
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        return {
+            "unet": self.unet.init(k1, x, t, ctx),
+            "vae": self.vae.init(k2, img),
+            "clip": self.clip.init(k3, toks),
+            "controlnet": self.controlnet.init(k4, x, x, t, ctx),
+        }
+
+    def eval_shapes(self, latent_hw: Tuple[int, int] = (8, 8)) -> Params:
+        return jax.eval_shape(self.init_params, jax.random.PRNGKey(0), latent_hw)
+
+    # ------------------------------------------------------------------ #
+    # forward paths (pure)
+    # ------------------------------------------------------------------ #
+    def __call__(
+        self,
+        params: Params,
+        x_noisy: jax.Array,
+        t: jax.Array,
+        cond: Mapping[str, jax.Array],
+        control_scales: Any = 1.0,
+    ) -> jax.Array:
+        """ControlNet -> scaled residuals -> controlled UNet (cldm.py:160-172)."""
+        control = self.controlnet.apply(
+            params["controlnet"], x_noisy, cond["c_img"], t, cond["c_txt"]
+        )
+        if isinstance(control_scales, (int, float)):
+            control_scales = (float(control_scales),) * len(control)
+        control = tuple(c * s for c, s in zip(control, control_scales))
+        return self.unet.apply(
+            params["unet"], x_noisy, t, cond["c_txt"], control=control
+        )
+
+    def vae_encode(
+        self,
+        params: Params,
+        image: jax.Array,
+        sample: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """image in [-1,1] NHWC -> scaled latent (cldm.py:92-119)."""
+        mean, logvar = self.vae.apply(
+            params["vae"], image, method=self.vae.encode_moments
+        )
+        if sample:
+            assert rng is not None, "sampling the posterior needs an rng"
+            std = jnp.exp(0.5 * logvar)
+            z = mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+        else:
+            z = mean
+        return z * self.scale_factor
+
+    def vae_decode(self, params: Params, z: jax.Array) -> jax.Array:
+        return self.vae.apply(params["vae"], z / self.scale_factor, method=self.vae.decode)
+
+    def encode_text(self, params: Params, tokens: jax.Array) -> jax.Array:
+        return self.clip.apply(params["clip"], tokens)
+
+    def prepare_condition(
+        self, params: Params, cond_img: jax.Array, tokens: jax.Array
+    ) -> Dict[str, jax.Array]:
+        """cond_img in [0,1] NHWC; tokens [B,77] int32 (cldm.py:143-158)."""
+        return dict(
+            c_txt=self.encode_text(params, tokens),
+            c_img=self.vae_encode(params, cond_img * 2 - 1, sample=False),
+        )
+
+    # ------------------------------------------------------------------ #
+    # checkpoint surgery
+    # ------------------------------------------------------------------ #
+    def load_pretrained_sd(
+        self, params: Params, sd: Mapping[str, np.ndarray], strict: bool = True
+    ) -> Params:
+        """Fill unet/vae/clip subtrees from a full SD2.1 checkpoint."""
+        out = dict(params)
+        for name, module_params in (("unet", params["unet"]), ("vae", params["vae"]), ("clip", params["clip"])):
+            filled, missing, _ = convert.fill_flax_params(
+                module_params, sd, prefix=convert.SD_MODULE_MAP[name], strict=strict
+            )
+            out[name] = filled
+        return out
+
+    def load_controlnet_from_ckpt(
+        self, params: Params, sd: Mapping[str, np.ndarray]
+    ) -> Params:
+        filled, missing, _ = convert.fill_flax_params(params["controlnet"], sd, strict=True)
+        return {**params, "controlnet": filled}
+
+    def load_controlnet_from_unet(self, params: Params) -> Params:
+        """Init controlnet from the (loaded) UNet encoder; zero-pad the input
+        conv for the extra hint channels (cldm.py:68-90)."""
+        unet_flat = dict(
+            jax.tree_util.tree_flatten_with_path(params["unet"])[0]
+        )
+        unet_by_path = {
+            tuple(k.key for k in path): leaf for path, leaf in unet_flat.items()
+        }
+        cn_leaves, treedef = jax.tree_util.tree_flatten_with_path(params["controlnet"])
+        new = []
+        for path, leaf in cn_leaves:
+            key = tuple(k.key for k in path)
+            src = unet_by_path.get(key)
+            if src is None:
+                new.append(leaf)  # zero convs etc. keep scratch (zero) init
+            elif src.shape == leaf.shape:
+                new.append(src)
+            else:
+                # input conv: HWIO, pad input-channel axis (2) with zeros
+                d_ic = leaf.shape[2] - src.shape[2]
+                pad = jnp.zeros(src.shape[:2] + (d_ic,) + src.shape[3:], src.dtype)
+                new.append(jnp.concatenate([src, pad], axis=2))
+        cn = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params["controlnet"]), new
+        )
+        return {**params, "controlnet": cn}

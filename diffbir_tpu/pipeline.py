@@ -1,0 +1,302 @@
+"""Two-stage restoration pipeline: cleaner -> ControlLDM -> color fix.
+
+Behavioral parity target: /root/reference/diffbir/pipeline.py:25-421
+(Pipeline.run / apply_cldm / cleaner variants). Orchestration differences by
+design:
+- the whole stage-2 path (condition encode -> sampler scan -> VAE decode) is
+  ONE jitted function; the sampler's denoise loop is a ``lax.scan``;
+- prompts are tokenized on host; models only see token ids;
+- tiling enters as pure wrapper transforms (tiling.py), not monkey-patching;
+- randomness is an explicit ``jax.random`` key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models.cldm import ControlLDM
+from .sampler import DDIMSampler, SpacedSampler
+from .schedule import Schedule
+from .tiling import make_tiled_fn
+from .utils.common import (
+    bicubic_resize,
+    pad_to_multiples_of,
+    resize_short_edge_to,
+    wavelet_reconstruction,
+)
+
+
+def build_sampler(
+    sampler_type: str, schedule: Schedule, rescale_cfg: bool,
+    eta: float = 0.0, s_churn: float = 0.0, s_tmin: float = 0.0,
+    s_tmax: float = 300.0, s_noise: float = 1.0, order: int = 1,
+):
+    """Sampler factory mirroring pipeline.py:179-201 dispatch."""
+    betas = schedule.betas
+    param = schedule.parameterization
+    if sampler_type == "spaced":
+        return SpacedSampler(betas, param, rescale_cfg)
+    if sampler_type == "ddim":
+        return DDIMSampler(betas, param, rescale_cfg, eta=0.0)
+    if sampler_type.startswith("dpm"):
+        from .sampler.dpms import DPMSolverSampler
+
+        return DPMSolverSampler(betas, param, rescale_cfg, sampler_type)
+    if sampler_type.startswith("edm"):
+        from .sampler.edm import EDMSampler
+
+        return EDMSampler(
+            betas, param, rescale_cfg, sampler_type,
+            s_churn=s_churn, s_tmin=s_tmin, s_tmax=s_tmax, s_noise=s_noise,
+            eta=eta, order=order,
+        )
+    raise NotImplementedError(sampler_type)
+
+
+class Pipeline:
+    """Base pipeline; subclasses override ``apply_cleaner``."""
+
+    def __init__(
+        self,
+        cleaner_apply: Optional[Callable[[jax.Array], jax.Array]],
+        cldm: ControlLDM,
+        params,
+        schedule: Schedule,
+        tokenizer=None,
+        cond_fn=None,
+        min_cond_size: int = 512,
+    ):
+        self.cleaner_apply = cleaner_apply  # jittable: [0,1] NHWC -> [0,1] NHWC
+        self.cldm = cldm
+        self.params = params
+        self.schedule = schedule
+        self.tokenizer = tokenizer
+        self.cond_fn = cond_fn
+        self.min_cond_size = min_cond_size
+        self.output_size: Tuple[int, int] = None
+        self._generate_cache: Dict = {}
+
+    # ------------------------------------------------------------------ #
+    def set_output_size(self, lq_hw: Tuple[int, int]) -> None:
+        self.output_size = lq_hw
+
+    def apply_cleaner(self, lq, tiled=False, tile_size=512, tile_stride=256):
+        raise NotImplementedError
+
+    def tokenize(self, prompt: str, bs: int) -> np.ndarray:
+        if self.tokenizer is None:
+            # untokenized fallback: empty prompt ids (SOT, EOT, pad)
+            t = np.zeros((bs, self.cldm.clip.context_length), np.int32)
+            t[:, 0] = 49406
+            t[:, 1] = 49407
+            return t
+        return np.repeat(self.tokenizer([prompt]), bs, axis=0)
+
+    # ------------------------------------------------------------------ #
+    def _generate_fn(self, key):
+        """Build (and cache) the jitted stage-2 program for a static config."""
+        (steps, strength, cfg_scale, start_point_type, sampler_type, noise_aug,
+         rescale_cfg, eta, s_churn, s_tmin, s_tmax, s_noise, order,
+         h_img, w_img, bs) = key
+        if key in self._generate_cache:
+            return self._generate_cache[key]
+
+        sampler = build_sampler(
+            sampler_type, self.schedule, rescale_cfg, eta=eta, s_churn=s_churn,
+            s_tmin=s_tmin, s_tmax=s_tmax, s_noise=s_noise, order=order,
+        )
+        cldm, schedule = self.cldm, self.schedule
+        use_cfg = cfg_scale != 1.0
+
+        def generate(params, cond_img, pos_tok, neg_tok, rng):
+            h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+            cond = cldm.prepare_condition(params, cond_img, pos_tok)
+            uncond = (
+                cldm.prepare_condition(params, cond_img, neg_tok) if use_cfg else None
+            )
+            rng, k_start, k_aug, k_sample = jax.random.split(rng, 4)
+            if start_point_type == "cond":
+                x_0 = cond["c_img"]
+                t_last = jnp.full((bs,), schedule.num_timesteps - 1, jnp.int32)
+                x_T = schedule.q_sample(
+                    x_0, t_last, jax.random.normal(k_start, x_0.shape, jnp.float32)
+                )
+            else:
+                x_T = jax.random.normal(k_start, (bs, h1, w1, 4), jnp.float32)
+            if noise_aug > 0:
+                t_aug = jnp.full((bs,), noise_aug, jnp.int32)
+                c_img = schedule.q_sample(
+                    cond["c_img"], t_aug,
+                    jax.random.normal(k_aug, cond["c_img"].shape, jnp.float32),
+                )
+                cond = {**cond, "c_img": c_img}
+                if uncond is not None:
+                    uncond = {**uncond, "c_img": c_img}
+
+            def model_fn(x, t, c):
+                return cldm(params, x, t, c, control_scales=strength)
+
+            z = sampler.sample(
+                model_fn, x_T, cond, uncond, cfg_scale, steps, k_sample
+            )
+            x = cldm.vae_decode(params, z)
+            return x
+
+        fn = jax.jit(generate)
+        self._generate_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------ #
+    def apply_cldm(
+        self,
+        cond_img: jax.Array,
+        steps: int,
+        strength: float,
+        pos_prompt: str,
+        neg_prompt: str,
+        cfg_scale: float,
+        start_point_type: str = "noise",
+        sampler_type: str = "spaced",
+        noise_aug: int = 0,
+        rescale_cfg: bool = False,
+        rng: Optional[jax.Array] = None,
+        eta: float = 0.0,
+        s_churn: float = 0.0,
+        s_tmin: float = 0.0,
+        s_tmax: float = 300.0,
+        s_noise: float = 1.0,
+        order: int = 1,
+        **_tiling_todo,
+    ) -> jax.Array:
+        """Stage-2 generation on a [0,1] NHWC condition image."""
+        bs, h0, w0, _ = cond_img.shape
+        cond_img = pad_to_multiples_of(cond_img, 64)
+        h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+        pos_tok = jnp.asarray(self.tokenize(pos_prompt, bs))
+        neg_tok = jnp.asarray(self.tokenize(neg_prompt, bs))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        key = (
+            steps, float(strength), float(cfg_scale), start_point_type,
+            sampler_type, int(noise_aug), bool(rescale_cfg), float(eta),
+            float(s_churn), float(s_tmin), float(s_tmax), float(s_noise),
+            int(order), cond_img.shape[1], cond_img.shape[2], bs,
+        )
+        fn = self._generate_fn(key)
+        x = fn(self.params, cond_img, pos_tok, neg_tok, rng)
+        return x[:, :h0, :w0, :]
+
+    # ------------------------------------------------------------------ #
+    def run(
+        self,
+        lq: np.ndarray,
+        steps: int = 50,
+        strength: float = 1.0,
+        pos_prompt: str = "",
+        neg_prompt: str = "low quality, blurry, low-resolution, noisy, unsharp, weird textures",
+        cfg_scale: float = 4.0,
+        start_point_type: str = "noise",
+        sampler_type: str = "spaced",
+        noise_aug: int = 0,
+        rescale_cfg: bool = False,
+        cleaner_tiled: bool = False,
+        cleaner_tile_size: int = 512,
+        cleaner_tile_stride: int = 256,
+        seed: int = 231,
+        **sampler_kwargs,
+    ) -> np.ndarray:
+        """lq: uint8 [B,H,W,3] -> restored uint8 [B,*output_size,3]."""
+        lq_t = jnp.clip(jnp.asarray(lq, jnp.float32) / 255.0, 0.0, 1.0)
+        self.set_output_size(lq_t.shape[1:3])
+        cond_img = self.apply_cleaner(
+            lq_t, cleaner_tiled, cleaner_tile_size, cleaner_tile_stride
+        )
+        assert all(s >= self.min_cond_size for s in cond_img.shape[1:3]), (
+            "stage-1 output must be >= 512 (condition for stage-2)"
+        )
+        sample = self.apply_cldm(
+            cond_img, steps, strength, pos_prompt, neg_prompt, cfg_scale,
+            start_point_type, sampler_type, noise_aug, rescale_cfg,
+            rng=jax.random.PRNGKey(seed), **sampler_kwargs,
+        )
+        sample = wavelet_reconstruction((sample + 1) / 2, cond_img)
+        sample = bicubic_resize(sample, self.output_size)
+        out = np.asarray(jnp.clip(sample * 255.0, 0, 255).astype(jnp.uint8))
+        return out
+
+
+class IdentityCleanerPipeline(Pipeline):
+    """Bicubic-only stage-1 stub (minimum e2e slice; also useful for tests)."""
+
+    def apply_cleaner(self, lq, tiled=False, tile_size=512, tile_stride=256):
+        if min(lq.shape[1:3]) < self.min_cond_size:
+            lq = resize_short_edge_to(lq, self.min_cond_size)
+        return lq
+
+
+class SwinIRPipeline(Pipeline):
+    """x1 cleaner on a pre-upscaled input (pipeline.py:369-397)."""
+
+    def apply_cleaner(self, lq, tiled=False, tile_size=512, tile_stride=256):
+        if tiled and min(lq.shape[1:3]) < tile_size:
+            tiled = False
+        if not tiled:
+            if min(lq.shape[1:3]) < self.min_cond_size:
+                lq = resize_short_edge_to(lq, self.min_cond_size)
+            h0, w0 = lq.shape[1:3]
+            lq = pad_to_multiples_of(lq, 64)
+            out = self.cleaner_apply(lq)[:, :h0, :w0, :]
+        else:
+            if tile_size % 64 != 0:
+                raise ValueError("SwinIR tile size must be a multiple of 64")
+            out = make_tiled_fn(self.cleaner_apply, tile_size, tile_stride)(lq)
+            if min(out.shape[1:3]) < self.min_cond_size:
+                out = resize_short_edge_to(out, self.min_cond_size)
+        return out
+
+
+class BSRNetPipeline(Pipeline):
+    """x4 SR cleaner; output resized to lq*upscale (pipeline.py:324-366)."""
+
+    def __init__(self, *args, upscale: float = 4.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.upscale = upscale
+
+    def set_output_size(self, lq_hw):
+        self.output_size = (
+            int(lq_hw[0] * self.upscale), int(lq_hw[1] * self.upscale)
+        )
+
+    def apply_cleaner(self, lq, tiled=False, tile_size=512, tile_stride=256):
+        if tiled and min(lq.shape[1:3]) < tile_size:
+            tiled = False
+        fn = self.cleaner_apply
+        if tiled:
+            fn = make_tiled_fn(fn, tile_size, tile_stride, scale_type="up", scale=4)
+        out = fn(lq)
+        if min(self.output_size) < self.min_cond_size:
+            out = resize_short_edge_to(out, self.min_cond_size)
+        else:
+            out = bicubic_resize(out, self.output_size)
+        return out
+
+
+class SCUNetPipeline(Pipeline):
+    """x1 denoise cleaner (pipeline.py:400-420)."""
+
+    def apply_cleaner(self, lq, tiled=False, tile_size=512, tile_stride=256):
+        if tiled and min(lq.shape[1:3]) < tile_size:
+            tiled = False
+        fn = self.cleaner_apply
+        if tiled:
+            fn = make_tiled_fn(fn, tile_size, tile_stride)
+        out = fn(lq)
+        if min(out.shape[1:3]) < self.min_cond_size:
+            out = resize_short_edge_to(out, self.min_cond_size)
+        return out

@@ -1,0 +1,66 @@
+"""Ancestral DDPM sampling on a respaced schedule, as one ``lax.scan``.
+
+Behavioral parity target: /root/reference/diffbir/sampler/spaced_sampler.py
+(guided-diffusion respacing, posterior q(x_{t-1}|x_t,x_0) ancestral updates,
+eps/v x0-prediction, per-step rescaled CFG).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..schedule import make_spaced_coeffs
+from .base import ModelFn, Sampler, cfg_model_call
+
+
+class SpacedSampler(Sampler):
+    def sample(
+        self,
+        model_fn: ModelFn,
+        x_T: jax.Array,
+        cond: Mapping[str, jax.Array],
+        uncond: Optional[Mapping[str, jax.Array]],
+        cfg_scale: float,
+        steps: int,
+        rng: jax.Array,
+    ) -> jax.Array:
+        c = make_spaced_coeffs(self.training_betas, steps)
+        order = np.arange(steps)[::-1]  # high noise -> low noise
+        tables = {
+            "model_t": c.timesteps[order].astype(np.float32),
+            "sqrt_recip": c.sqrt_recip_alphas_cumprod[order].astype(np.float32),
+            "sqrt_recipm1": c.sqrt_recipm1_alphas_cumprod[order].astype(np.float32),
+            "sqrt_ac": c.sqrt_alphas_cumprod[order].astype(np.float32),
+            "sqrt_omac": c.sqrt_one_minus_alphas_cumprod[order].astype(np.float32),
+            "coef1": c.posterior_mean_coef1[order].astype(np.float32),
+            "coef2": c.posterior_mean_coef2[order].astype(np.float32),
+            "sqrt_var": np.sqrt(c.posterior_variance[order]).astype(np.float32),
+            "nonzero": (order != 0).astype(np.float32),
+            "cfg": self.cfg_scales(cfg_scale, c.timesteps[order]),
+        }
+        tables = {k: jnp.asarray(v) for k, v in tables.items()}
+        bs = x_T.shape[0]
+        eps_param = self.parameterization == "eps"
+
+        def body(carry, row):
+            x, rng = carry
+            rng, sub = jax.random.split(rng)
+            t_model = jnp.full((bs,), row["model_t"], x.dtype)
+            out = cfg_model_call(model_fn, x, t_model, cond, uncond, row["cfg"])
+            out = out.astype(x.dtype)
+            if eps_param:
+                x0 = row["sqrt_recip"] * x - row["sqrt_recipm1"] * out
+            else:
+                x0 = row["sqrt_ac"] * x - row["sqrt_omac"] * out
+            mean = row["coef1"] * x0 + row["coef2"] * x
+            noise = jax.random.normal(sub, x.shape, x.dtype)
+            x = mean + row["nonzero"] * row["sqrt_var"] * noise
+            return (x, rng), None
+
+        (x, _), _ = jax.lax.scan(body, (x_T, rng), tables)
+        return x
