@@ -91,6 +91,7 @@ def conv(
     stride: int = 1,
     padding: Optional[int] = None,
     zero_init: bool = False,
+    use_bias: bool = True,
     dtype: Dtype = jnp.float32,
     name: Optional[str] = None,
 ) -> nn.Conv:
@@ -105,6 +106,7 @@ def conv(
         padding=[(padding, padding), (padding, padding)],
         kernel_init=init,
         bias_init=nn.initializers.zeros,
+        use_bias=use_bias,
         dtype=dtype,
         param_dtype=jnp.float32,
         name=name,

@@ -71,9 +71,13 @@ def _flax_leaf_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, bool]:
 
 
 def _convert_value(v: np.ndarray, transpose: bool, target_shape) -> np.ndarray:
+    orig = v
     if transpose:
         if v.ndim == 4:  # conv OIHW -> HWIO
             v = v.transpose(2, 3, 1, 0)
+            if tuple(v.shape) != tuple(target_shape):
+                # ConvTranspose: torch (I,O,kh,kw) -> flax (kh,kw,I,O)
+                v = orig.transpose(2, 3, 0, 1)
         elif v.ndim == 2:  # linear (O,I) -> (I,O)
             v = v.T
     if tuple(v.shape) != tuple(target_shape):
