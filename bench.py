@@ -1,0 +1,110 @@
+"""Benchmark: 512x512 50-step BSR restoration on one TPU chip.
+
+Workload = the reference's paper command (README.md:149-162): SwinIR cleaner
+-> SD2.1 ControlLDM (IRControlNet) x 50 spaced-sampler steps with CFG 4.0
+(2x batch per step) -> VAE decode -> wavelet color fix. Random bf16 weights
+(math/FLOPs identical to trained weights).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: <= 2 s per image (BASELINE.md rebuild target on v5e).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+if os.environ.get("DIFFBIR_TPU_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["DIFFBIR_TPU_BENCH_PLATFORM"])
+
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.models.swinir import SwinIR
+from diffbir_tpu.sampler import SpacedSampler
+from diffbir_tpu.schedule import Schedule
+from diffbir_tpu.utils.common import wavelet_reconstruction
+
+STEPS = int(os.environ.get("BENCH_STEPS", 50))
+SIZE = int(os.environ.get("BENCH_SIZE", 512))
+CFG = 4.0
+BASELINE_S = 2.0
+
+
+def _bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    swin = SwinIR(dtype=jnp.bfloat16)
+    schedule = Schedule.create(
+        timesteps=1000, beta_schedule="linear", parameterization="v", zero_snr=True
+    )
+    sampler = SpacedSampler(schedule.betas, "v", rescale_cfg=False)
+
+    rng = jax.random.PRNGKey(0)
+    lat = SIZE // 8
+    params = _bf16(jax.jit(cldm.init_params, static_argnums=1)(rng, (lat, lat)))
+    sp = _bf16(
+        jax.jit(swin.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+        )
+    )
+    tokens = jnp.zeros((1, 77), jnp.int32)
+
+    def restore(params, sp, lq, pos_tok, neg_tok, rng):
+        cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
+        cond = cldm.prepare_condition(params, cond_img, pos_tok)
+        uncond = cldm.prepare_condition(params, cond_img, neg_tok)
+        rng, k1, k2 = jax.random.split(rng, 3)
+        x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+
+        def model_fn(x, t, c):
+            return cldm(params, x, t, c, control_scales=1.0)
+
+        z = sampler.sample(model_fn, x_T, cond, uncond, CFG, STEPS, k2)
+        x = cldm.vae_decode(params, z)
+        return wavelet_reconstruction((x + 1) / 2, cond_img)
+
+    fn = jax.jit(restore)
+    lq = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3), jnp.float32)
+
+    def run(key):
+        out = fn(params, sp, lq, tokens, tokens, key)
+        # fetch a scalar: forces execution + device->host sync even on
+        # remote/tunneled backends where block_until_ready is lazy
+        return float(jnp.sum(out))
+
+    t0 = time.time()
+    s = run(jax.random.PRNGKey(3))
+    compile_s = time.time() - t0
+    print(f"# compile+first-run: {compile_s:.1f}s (checksum {s:.3f})", file=sys.stderr)
+
+    times = []
+    for i in range(5):
+        t0 = time.time()
+        run(jax.random.PRNGKey(4 + i))
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"{SIZE}x{SIZE} {STEPS}-step BSR restoration latency (p50, 1 chip)",
+        "value": round(p50, 4),
+        "unit": "s/image",
+        "vs_baseline": round(BASELINE_S / p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon plugin ignores the JAX_PLATFORMS env var; the config update is
+# authoritative (must run before any backend is initialized).
+jax.config.update(
+    "jax_platforms", os.environ.get("DIFFBIR_TPU_TEST_PLATFORM", "cpu")
+)
 jax.config.update("jax_compilation_cache_dir", "/tmp/diffbir_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # parity tests compare fp32 against torch: disable bf16-pass matmul lowering

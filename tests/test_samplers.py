@@ -1,0 +1,107 @@
+"""Sampler zoo smoke + consistency tests on the tiny ControlLDM."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.sampler import DDIMSampler, SpacedSampler
+from diffbir_tpu.sampler.dpms import DPMSolverSampler
+from diffbir_tpu.sampler.edm import EDMSampler
+from diffbir_tpu.schedule import Schedule
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    # perturb zero-init convs so the model output is non-trivial
+    params = jax.tree_util.tree_map(lambda a: a + 0.01, params)
+    schedule = Schedule.create(timesteps=100, parameterization="eps")
+    cond = {
+        "c_txt": jnp.ones((1, 77, 64)) * 0.1,
+        "c_img": jnp.ones((1, 8, 8, 4)) * 0.2,
+    }
+    uncond = {
+        "c_txt": jnp.zeros((1, 77, 64)),
+        "c_img": cond["c_img"],
+    }
+
+    def model_fn(x, t, c):
+        return cldm(params, x, t, c)
+
+    return schedule, model_fn, cond, uncond
+
+
+X_SHAPE = (1, 8, 8, 4)
+
+
+def _run(sampler, model_fn, cond, uncond, steps=3, cfg=2.0):
+    x_T = jax.random.normal(jax.random.PRNGKey(5), X_SHAPE)
+    out = sampler.sample(model_fn, x_T, cond, uncond, cfg, steps, jax.random.PRNGKey(6))
+    out = np.asarray(out)
+    assert out.shape == X_SHAPE
+    assert np.all(np.isfinite(out))
+    return out
+
+
+def test_spaced(setup):
+    schedule, model_fn, cond, uncond = setup
+    s = SpacedSampler(schedule.betas, "eps", rescale_cfg=False)
+    _run(s, model_fn, cond, uncond)
+
+
+def test_spaced_v_zsnr(setup):
+    _, model_fn, cond, uncond = setup
+    sched = Schedule.create(timesteps=100, parameterization="v", zero_snr=True)
+    s = SpacedSampler(sched.betas, "v", rescale_cfg=True)
+    _run(s, model_fn, cond, uncond)
+
+
+def test_ddim(setup):
+    schedule, model_fn, cond, uncond = setup
+    s = DDIMSampler(schedule.betas, "eps", rescale_cfg=False, eta=0.0)
+    # steps must divide T cleanly (the reference's +1 timestep shift
+    # overflows otherwise, ddim_sampler.py:33)
+    out1 = _run(s, model_fn, cond, uncond, steps=4)
+    out2 = _run(s, model_fn, cond, uncond, steps=4)
+    np.testing.assert_array_equal(out1, out2)  # eta=0 deterministic
+
+
+@pytest.mark.parametrize(
+    "solver",
+    [
+        "edm_euler", "edm_euler_a", "edm_heun", "edm_dpm_2", "edm_dpm_2_a",
+        "edm_lms", "edm_dpm++_2s_a", "edm_dpm++_sde", "edm_dpm++_2m",
+        "edm_dpm++_2m_sde", "edm_dpm++_3m_sde",
+    ],
+)
+def test_edm_solvers(setup, solver):
+    schedule, model_fn, cond, uncond = setup
+    s = EDMSampler(
+        schedule.betas, "eps", rescale_cfg=False, solver_type=solver,
+        s_churn=0.5 if "euler" == solver[4:] else 0.0,
+    )
+    _run(s, model_fn, cond, uncond, steps=4)
+
+
+def test_dpm_solver_m2(setup):
+    schedule, model_fn, cond, uncond = setup
+    s = DPMSolverSampler(schedule.betas, "eps", rescale_cfg=False, model_spec="dpm++_m2")
+    _run(s, model_fn, cond, uncond, steps=4)
+
+
+def test_dpm_solver_orders(setup):
+    schedule, model_fn, cond, uncond = setup
+    for spec in ["dpm++_m1", "dpm++_m3", "dpm_m2"]:
+        s = DPMSolverSampler(schedule.betas, "eps", rescale_cfg=False, model_spec=spec)
+        _run(s, model_fn, cond, uncond, steps=4)
+
+
+def test_edm_v_param(setup):
+    _, model_fn, cond, uncond = setup
+    sched = Schedule.create(timesteps=100, parameterization="v", zero_snr=True)
+    s = EDMSampler(sched.betas, "v", rescale_cfg=True, solver_type="edm_dpm++_3m_sde")
+    _run(s, model_fn, cond, uncond, steps=4)
