@@ -1,0 +1,80 @@
+"""Custom-model inference loop: user train-config + checkpoint.
+
+Behavioral parity target: /root/reference/diffbir/inference/custom_loop.py:20-93
+— instead of the version registry, load the cleaner/cldm settings from a
+training YAML and the ControlNet weights from a user checkpoint (orbax dir or
+torch file).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfglib
+from ..models.cldm import ControlLDM
+from ..pipeline import SwinIRPipeline
+from ..weights.convert import fill_flax_params, load_torch_state_dict
+from .loop import InferenceLoop, make_schedule_for_version
+from .pretrained_models import resolve_model
+
+
+class CustomInferenceLoop(InferenceLoop):
+    def __init__(self, args):
+        self.train_cfg = cfglib.load_yaml(args.train_cfg)
+        super().__init__(args)
+
+    def load_cleaner(self) -> None:
+        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        cleaner_cfg = self.train_cfg["model"]["swinir"]
+        self.cleaner = cfglib.instantiate(cleaner_cfg, dtype=dtype)
+        from .bsr_loop import load_cleaner_params
+
+        ckpt = self.train_cfg["train"].get("swinir_path") or cleaner_cfg.get("ckpt")
+        self.cleaner_params = load_cleaner_params(self.cleaner, ckpt, (1, 64, 64, 3), dtype)
+        self.cleaner_apply = jax.jit(
+            lambda x: jnp.clip(self.cleaner.apply(self.cleaner_params, x), 0.0, 1.0)
+        )
+
+    def load_cldm(self) -> None:
+        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        self.cldm = ControlLDM.sd21(dtype=dtype)
+        shapes = self.cldm.eval_shapes((64, 64))
+        sd = load_torch_state_dict(resolve_model(self.train_cfg["train"]["sd_path"]))
+        params = self.cldm.load_pretrained_sd(shapes, sd)
+
+        ckpt = self.args.ckpt
+        if os.path.isdir(ckpt):  # orbax checkpoint from train_stage2.py
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+            params = {**params, "controlnet": restored["controlnet"]}
+        else:
+            cn_sd = load_torch_state_dict(ckpt)
+            params = self.cldm.load_controlnet_from_ckpt(params, cn_sd)
+        if dtype == jnp.bfloat16:
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32 else jnp.asarray(x),
+                params,
+            )
+        self.params = params
+        self.schedule = make_schedule_for_version(
+            "v2.1" if self.train_cfg["model"].get("zero_snr") else "v2"
+        )
+
+    def load_pipeline(self) -> None:
+        from ..models.tokenizer import get_tokenizer
+
+        try:
+            tok = get_tokenizer()
+        except FileNotFoundError:
+            tok = None
+        self.pipeline = SwinIRPipeline(
+            cleaner_apply=self.cleaner_apply, cldm=self.cldm, params=self.params,
+            schedule=self.schedule, tokenizer=tok, cond_fn=self.cond_fn,
+        )

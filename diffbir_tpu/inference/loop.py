@@ -1,0 +1,180 @@
+"""Base inference loop: model loading -> per-image restoration -> save.
+
+Behavioral parity target: /root/reference/diffbir/inference/loop.py:30-235
+(cleaner -> cldm -> cond_fn -> pipeline -> captioner load order; directory
+scan; caption + user prompt concatenation; n_samples batching; PNG output +
+prompt.csv audit log). Model routing per version follows loop.py:48-96.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from argparse import Namespace
+from typing import Generator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from ..models.cldm import ControlLDM
+from ..models.tokenizer import get_tokenizer
+from ..schedule import Schedule
+from ..utils.caption import build_captioner
+from ..utils.cond_fn import MSEGuidance, WeightedMSEGuidance
+from ..weights.convert import load_torch_state_dict
+from .pretrained_models import resolve_model
+
+
+def make_schedule_for_version(version: str) -> Schedule:
+    """diffusion.yaml (v1/v2: eps) vs diffusion_v2.1.yaml (zsnr + v)."""
+    if version in ("v1", "v2"):
+        return Schedule.create(
+            timesteps=1000, beta_schedule="linear", linear_start=0.00085,
+            linear_end=0.0120, parameterization="eps", zero_snr=False,
+        )
+    return Schedule.create(
+        timesteps=1000, beta_schedule="linear", linear_start=0.00085,
+        linear_end=0.0120, parameterization="v", zero_snr=True,
+    )
+
+
+class InferenceLoop:
+    def __init__(self, args: Namespace):
+        self.args = args
+        self.loop_ctx = {}
+        self.pipeline = None
+        self.load_cleaner()
+        self.load_cldm()
+        self.load_cond_fn()
+        self.load_pipeline()
+        self.load_captioner()
+
+    # ------------------------------------------------------------------ #
+    def load_cleaner(self) -> None:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def load_cldm(self) -> None:
+        dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.bfloat16}[
+            getattr(self.args, "precision", "bf16")
+        ]
+        self.cldm = ControlLDM.sd21(dtype=dtype)
+        shapes = self.cldm.eval_shapes((64, 64))
+        sd_key = "sd_v2.1_zsnr" if self.args.version == "v2.1" else "sd_v2.1"
+        sd = load_torch_state_dict(resolve_model(sd_key))
+        params = self.cldm.load_pretrained_sd(shapes, sd)
+        if self.args.version == "v1":
+            cn_key = {"face": "v1_face", "sr": "v1_general", "denoise": "v1_general"}.get(
+                self.args.task
+            )
+            if cn_key is None:
+                raise ValueError(f"DiffBIR v1 doesn't support task: {self.args.task}")
+        elif self.args.version == "v2":
+            cn_key = "v2"
+        else:
+            cn_key = "v2.1"
+        cn_sd = load_torch_state_dict(resolve_model(cn_key))
+        params = self.cldm.load_controlnet_from_ckpt(params, cn_sd)
+        # cast to compute dtype (bf16 in production) and ship to device
+        if dtype == jnp.bfloat16:
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16)
+                if np.asarray(x).dtype == np.float32
+                else jnp.asarray(x),
+                params,
+            )
+        else:
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.params = params
+        self.schedule = make_schedule_for_version(self.args.version)
+
+    def load_cond_fn(self) -> None:
+        if not getattr(self.args, "guidance", False):
+            self.cond_fn = None
+            return
+        cls = {"mse": MSEGuidance, "w_mse": WeightedMSEGuidance}[self.args.g_loss]
+        self.cond_fn = cls(
+            self.args.g_scale, self.args.g_start, self.args.g_stop,
+            self.args.g_space, self.args.g_repeat,
+        )
+
+    def load_pipeline(self) -> None:  # pragma: no cover - overridden
+        raise NotImplementedError
+
+    def load_captioner(self) -> None:
+        self.captioner = build_captioner(getattr(self.args, "captioner", "none"))
+
+    # ------------------------------------------------------------------ #
+    def load_lq(self) -> Generator[Image.Image, None, None]:
+        img_exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+        inp = self.args.input
+        files = (
+            [inp]
+            if os.path.isfile(inp)
+            else sorted(
+                os.path.join(inp, f)
+                for f in os.listdir(inp)
+                if f.lower().endswith(img_exts)
+            )
+        )
+        for path in files:
+            self.loop_ctx["file_stem"] = os.path.splitext(os.path.basename(path))[0]
+            yield Image.open(path).convert("RGB")
+
+    def after_load_lq(self, lq: Image.Image) -> np.ndarray:
+        return np.array(lq)
+
+    def setup(self) -> None:
+        self.save_dir = self.args.output
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._prompts: List[tuple] = []
+
+    def run(self) -> None:
+        self.setup()
+        for lq in self.load_lq():
+            caption = self.captioner(lq)
+            pos_prompt = ", ".join(
+                p for p in (caption, self.args.pos_prompt) if p
+            )
+            lq_arr = self.after_load_lq(lq)
+            batch = np.stack([lq_arr] * self.args.n_samples)
+            self.loop_ctx["prompt"] = pos_prompt
+            samples = self.pipeline.run(
+                batch,
+                steps=self.args.steps,
+                strength=self.args.strength,
+                pos_prompt=pos_prompt,
+                neg_prompt=self.args.neg_prompt,
+                cfg_scale=self.args.cfg_scale,
+                start_point_type=self.args.start_point_type,
+                sampler_type=self.args.sampler,
+                noise_aug=self.args.noise_aug,
+                rescale_cfg=self.args.rescale_cfg,
+                cleaner_tiled=self.args.cleaner_tiled,
+                cleaner_tile_size=self.args.cleaner_tile_size,
+                cleaner_tile_stride=self.args.cleaner_tile_stride,
+                seed=self.args.seed,
+                eta=getattr(self.args, "eta", 0.0),
+                s_churn=getattr(self.args, "s_churn", 0.0),
+                s_tmin=getattr(self.args, "s_tmin", 0.0),
+                s_tmax=getattr(self.args, "s_tmax", 300.0),
+                s_noise=getattr(self.args, "s_noise", 1.0),
+                order=getattr(self.args, "order", 1),
+            )
+            for i in range(samples.shape[0]):
+                self.save(Image.fromarray(samples[i]), i)
+        self.write_prompt_log()
+
+    def save(self, img: Image.Image, sample_idx: int) -> None:
+        stem = self.loop_ctx["file_stem"]
+        name = f"{stem}_{sample_idx}.png" if self.args.n_samples > 1 else f"{stem}.png"
+        img.save(os.path.join(self.save_dir, name))
+        self._prompts.append((name, self.loop_ctx.get("prompt", "")))
+
+    def write_prompt_log(self) -> None:
+        with open(os.path.join(self.save_dir, "prompt.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["file_name", "prompt"])
+            w.writerows(self._prompts)

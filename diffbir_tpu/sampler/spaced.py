@@ -28,11 +28,18 @@ class SpacedSampler(Sampler):
         cfg_scale: float,
         steps: int,
         rng: jax.Array,
+        cond_fn=None,
+        guidance_target: Optional[jax.Array] = None,
     ) -> jax.Array:
         c = make_spaced_coeffs(self.training_betas, steps)
         order = np.arange(steps)[::-1]  # high noise -> low noise
+        model_ts = c.timesteps[order]
+        g_on = np.zeros(steps, np.bool_)
+        if cond_fn is not None:
+            assert guidance_target is not None, "guidance needs a target"
+            g_on = (model_ts <= cond_fn.t_start) & (model_ts >= cond_fn.t_stop)
         tables = {
-            "model_t": c.timesteps[order].astype(np.float32),
+            "model_t": model_ts.astype(np.float32),
             "sqrt_recip": c.sqrt_recip_alphas_cumprod[order].astype(np.float32),
             "sqrt_recipm1": c.sqrt_recipm1_alphas_cumprod[order].astype(np.float32),
             "sqrt_ac": c.sqrt_alphas_cumprod[order].astype(np.float32),
@@ -41,7 +48,8 @@ class SpacedSampler(Sampler):
             "coef2": c.posterior_mean_coef2[order].astype(np.float32),
             "sqrt_var": np.sqrt(c.posterior_variance[order]).astype(np.float32),
             "nonzero": (order != 0).astype(np.float32),
-            "cfg": self.cfg_scales(cfg_scale, c.timesteps[order]),
+            "cfg": self.cfg_scales(cfg_scale, model_ts),
+            "g_on": g_on,
         }
         tables = {k: jnp.asarray(v) for k, v in tables.items()}
         bs = x_T.shape[0]
@@ -57,6 +65,14 @@ class SpacedSampler(Sampler):
                 x0 = row["sqrt_recip"] * x - row["sqrt_recipm1"] * out
             else:
                 x0 = row["sqrt_ac"] * x - row["sqrt_omac"] * out
+            if cond_fn is not None:
+                def guide(v):
+                    for _ in range(max(1, cond_fn.repeat)):
+                        g, _loss = cond_fn(guidance_target, v)
+                        v = v + g
+                    return v
+
+                x0 = jax.lax.cond(row["g_on"], guide, lambda v: v, x0)
             mean = row["coef1"] * x0 + row["coef2"] * x
             noise = jax.random.normal(sub, x.shape, x.dtype)
             x = mean + row["nonzero"] * row["sqrt_var"] * noise

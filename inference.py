@@ -1,0 +1,128 @@
+"""diffbir_tpu inference CLI.
+
+Behavioral parity target: /root/reference/inference.py:55-305 — same task /
+version / sampler / tiling / guidance flag surface, adapted to TPU:
+``--device`` selects the jax platform and ``--precision`` maps fp16 -> bf16.
+"""
+
+import os
+from argparse import ArgumentParser, Namespace
+
+DEFAULT_POS_PROMPT = (
+    "Cinematic, High Contrast, highly detailed, taken using a Canon EOS R camera, "
+    "hyper detailed photo - realistic maximum detail, 32k, Color Grading, ultra HD, "
+    "extreme meticulous detailing, skin pore detailing, hyper sharpness, perfect "
+    "without deformations."
+)
+
+DEFAULT_NEG_PROMPT = (
+    "painting, oil painting, illustration, drawing, art, sketch, oil painting, "
+    "cartoon, CG Style, 3D render, unreal engine, blurring, dirty, messy, worst "
+    "quality, low quality, frames, watermark, signature, jpeg artifacts, deformed, "
+    "lowres, over-smooth."
+)
+
+SAMPLER_CHOICES = [
+    "dpm++_m2", "spaced", "ddim",
+    "edm_euler", "edm_euler_a", "edm_heun", "edm_dpm_2", "edm_dpm_2_a",
+    "edm_lms", "edm_dpm++_2s_a", "edm_dpm++_sde", "edm_dpm++_2m",
+    "edm_dpm++_2m_sde", "edm_dpm++_3m_sde",
+]
+
+
+def parse_args() -> Namespace:
+    p = ArgumentParser()
+    # model
+    p.add_argument("--task", type=str, required=True,
+                   choices=["sr", "face", "denoise", "unaligned_face"])
+    p.add_argument("--upscale", type=float, default=1.0)
+    p.add_argument("--version", type=str, default="v2.1",
+                   choices=["v1", "v2", "v2.1", "custom"])
+    p.add_argument("--train_cfg", type=str, default="",
+                   help="training config path (version=custom)")
+    p.add_argument("--ckpt", type=str, default="",
+                   help="checkpoint path (version=custom)")
+    # sampling
+    p.add_argument("--sampler", type=str, default="edm_dpm++_3m_sde",
+                   choices=SAMPLER_CHOICES)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--start_point_type", type=str, default="noise",
+                   choices=["noise", "cond"])
+    p.add_argument("--cleaner_tiled", action="store_true")
+    p.add_argument("--cleaner_tile_size", type=int, default=512)
+    p.add_argument("--cleaner_tile_stride", type=int, default=256)
+    p.add_argument("--vae_encoder_tiled", action="store_true")
+    p.add_argument("--vae_encoder_tile_size", type=int, default=256)
+    p.add_argument("--vae_decoder_tiled", action="store_true")
+    p.add_argument("--vae_decoder_tile_size", type=int, default=256)
+    p.add_argument("--cldm_tiled", action="store_true")
+    p.add_argument("--cldm_tile_size", type=int, default=512)
+    p.add_argument("--cldm_tile_stride", type=int, default=256)
+    p.add_argument("--captioner", type=str, default="none",
+                   choices=["none", "llava", "ram"])
+    p.add_argument("--pos_prompt", type=str, default=DEFAULT_POS_PROMPT)
+    p.add_argument("--neg_prompt", type=str, default=DEFAULT_NEG_PROMPT)
+    p.add_argument("--cfg_scale", type=float, default=6.0)
+    p.add_argument("--rescale_cfg", action="store_true")
+    p.add_argument("--noise_aug", type=int, default=0)
+    p.add_argument("--s_churn", type=float, default=0.0)
+    p.add_argument("--s_tmin", type=float, default=0.0)
+    p.add_argument("--s_tmax", type=float, default=300.0)
+    p.add_argument("--s_noise", type=float, default=1.0)
+    p.add_argument("--eta", type=float, default=1.0)
+    p.add_argument("--order", type=int, default=4,
+                   help="order of the edm_lms solver")
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--batch_size", type=int, default=1)
+    # guidance
+    p.add_argument("--guidance", action="store_true")
+    p.add_argument("--g_loss", type=str, default="w_mse", choices=["mse", "w_mse"])
+    p.add_argument("--g_scale", type=float, default=0.0)
+    p.add_argument("--g_start", type=int, default=1001)
+    p.add_argument("--g_stop", type=int, default=-1)
+    p.add_argument("--g_space", type=str, default="latent", choices=["latent", "rgb"])
+    p.add_argument("--g_repeat", type=int, default=1)
+    # io
+    p.add_argument("--input", type=str, required=True)
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--seed", type=int, default=231)
+    # platform
+    p.add_argument("--device", type=str, default="auto",
+                   choices=["auto", "tpu", "cpu"])
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["fp32", "fp16", "bf16"])
+    p.add_argument("--llava_bit", type=str, default="4", choices=["16", "8", "4"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffbir_tpu.inference import (
+        BFRInferenceLoop,
+        BIDInferenceLoop,
+        BSRInferenceLoop,
+        CustomInferenceLoop,
+        UnAlignedBFRInferenceLoop,
+    )
+
+    if args.version == "custom":
+        loop = CustomInferenceLoop(args)
+    else:
+        loop = {
+            "sr": BSRInferenceLoop,
+            "face": BFRInferenceLoop,
+            "denoise": BIDInferenceLoop,
+            "unaligned_face": UnAlignedBFRInferenceLoop,
+        }[args.task](args)
+    loop.run()
+    print(f"done! results saved to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
