@@ -155,6 +155,13 @@ class InferenceLoop:
                 cleaner_tiled=self.args.cleaner_tiled,
                 cleaner_tile_size=self.args.cleaner_tile_size,
                 cleaner_tile_stride=self.args.cleaner_tile_stride,
+                vae_encoder_tiled=getattr(self.args, "vae_encoder_tiled", False),
+                vae_encoder_tile_size=getattr(self.args, "vae_encoder_tile_size", 256),
+                vae_decoder_tiled=getattr(self.args, "vae_decoder_tiled", False),
+                vae_decoder_tile_size=getattr(self.args, "vae_decoder_tile_size", 256),
+                cldm_tiled=getattr(self.args, "cldm_tiled", False),
+                cldm_tile_size=getattr(self.args, "cldm_tile_size", 512),
+                cldm_tile_stride=getattr(self.args, "cldm_tile_stride", 256),
                 seed=self.args.seed,
                 eta=getattr(self.args, "eta", 0.0),
                 s_churn=getattr(self.args, "s_churn", 0.0),

@@ -110,8 +110,33 @@ class ControlLDM:
         image: jax.Array,
         sample: bool = True,
         rng: Optional[jax.Array] = None,
+        tiled: bool = False,
+        tile_size: int = 256,
     ) -> jax.Array:
-        """image in [-1,1] NHWC -> scaled latent (cldm.py:92-119)."""
+        """image in [-1,1] NHWC -> scaled latent (cldm.py:92-119).
+
+        ``tiled`` runs the encoder per-tile with Gaussian overlap blending of
+        the latent means (the tiling subsystem, SURVEY.md §5.7); sampling is
+        applied to the blended mean with the full-latent logvar approximated
+        per tile, so tiled sampling uses mode+noise like the reference's
+        tiled encode path.
+        """
+        if tiled:
+            from ..tiling import make_tiled_fn
+
+            def enc_mean(x):
+                mean, _ = self.vae.apply(params["vae"], x, method=self.vae.encode_moments)
+                return mean
+
+            mean = make_tiled_fn(
+                enc_mean, tile_size, tile_size // 2, scale_type="down", scale=8,
+                channel=self.vae.embed_dim,
+            )(image)
+            z = mean
+            if sample:
+                assert rng is not None
+                z = mean + jax.random.normal(rng, mean.shape, mean.dtype)
+            return z * self.scale_factor
         mean, logvar = self.vae.apply(
             params["vae"], image, method=self.vae.encode_moments
         )
@@ -123,19 +148,42 @@ class ControlLDM:
             z = mean
         return z * self.scale_factor
 
-    def vae_decode(self, params: Params, z: jax.Array) -> jax.Array:
+    def vae_decode(
+        self,
+        params: Params,
+        z: jax.Array,
+        tiled: bool = False,
+        tile_size: int = 256,
+    ) -> jax.Array:
+        """tile_size is in LATENT pixels when tiled (pipeline divides by 8)."""
+        if tiled:
+            from ..tiling import make_tiled_fn
+
+            dec = lambda zt: self.vae.apply(  # noqa: E731
+                params["vae"], zt / self.scale_factor, method=self.vae.decode
+            )
+            return make_tiled_fn(
+                dec, tile_size, tile_size // 2, scale_type="up", scale=8, channel=3
+            )(z)
         return self.vae.apply(params["vae"], z / self.scale_factor, method=self.vae.decode)
 
     def encode_text(self, params: Params, tokens: jax.Array) -> jax.Array:
         return self.clip.apply(params["clip"], tokens)
 
     def prepare_condition(
-        self, params: Params, cond_img: jax.Array, tokens: jax.Array
+        self,
+        params: Params,
+        cond_img: jax.Array,
+        tokens: jax.Array,
+        tiled: bool = False,
+        tile_size: int = 256,
     ) -> Dict[str, jax.Array]:
         """cond_img in [0,1] NHWC; tokens [B,77] int32 (cldm.py:143-158)."""
         return dict(
             c_txt=self.encode_text(params, tokens),
-            c_img=self.vae_encode(params, cond_img * 2 - 1, sample=False),
+            c_img=self.vae_encode(
+                params, cond_img * 2 - 1, sample=False, tiled=tiled, tile_size=tile_size
+            ),
         )
 
     # ------------------------------------------------------------------ #

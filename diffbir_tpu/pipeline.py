@@ -103,7 +103,9 @@ class Pipeline:
         """Build (and cache) the jitted stage-2 program for a static config."""
         (steps, strength, cfg_scale, start_point_type, sampler_type, noise_aug,
          rescale_cfg, eta, s_churn, s_tmin, s_tmax, s_noise, order,
-         h_img, w_img, bs) = key
+         h_img, w_img, bs,
+         vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
+         cldm_tiled, cldm_tile, cldm_stride) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -113,12 +115,19 @@ class Pipeline:
         )
         cldm, schedule = self.cldm, self.schedule
         use_cfg = cfg_scale != 1.0
+        cond_fn = self.cond_fn
 
         def generate(params, cond_img, pos_tok, neg_tok, rng):
             h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
-            cond = cldm.prepare_condition(params, cond_img, pos_tok)
+            cond = cldm.prepare_condition(
+                params, cond_img, pos_tok, tiled=vae_enc_tiled, tile_size=vae_enc_tile
+            )
             uncond = (
-                cldm.prepare_condition(params, cond_img, neg_tok) if use_cfg else None
+                cldm.prepare_condition(
+                    params, cond_img, neg_tok, tiled=vae_enc_tiled, tile_size=vae_enc_tile
+                )
+                if use_cfg
+                else None
             )
             rng, k_start, k_aug, k_sample = jax.random.split(rng, 4)
             if start_point_type == "cond":
@@ -139,13 +148,51 @@ class Pipeline:
                 if uncond is not None:
                     uncond = {**uncond, "c_img": c_img}
 
-            def model_fn(x, t, c):
+            def base_model_fn(x, t, c):
                 return cldm(params, x, t, c, control_scales=strength)
 
+            if cldm_tiled:
+                # per-step latent tiling with the hint sliced in sync
+                # (reference spaced_sampler.py:204-219 via monkey-patching)
+                lat_ts, lat_st = cldm_tile // 8, cldm_stride // 8
+
+                def model_tile(x_tiles, t, c, tile_coords=()):
+                    k = len(tile_coords)
+                    b = x_tiles.shape[0] // k
+                    c_img_full = c["c_img"]
+                    c_sl = jnp.concatenate(
+                        [
+                            c_img_full[:, hi: hi + lat_ts, wi: wi + lat_ts, :]
+                            for hi, wi in tile_coords
+                        ],
+                        axis=0,
+                    )
+                    c_txt = jnp.concatenate([c["c_txt"]] * k, axis=0)
+                    t_k = jnp.concatenate([t] * k, axis=0)
+                    return base_model_fn(
+                        x_tiles, t_k, {"c_txt": c_txt, "c_img": c_sl}
+                    )
+
+                model_tile.tile_kwargs = ("tile_coords",)
+                tiled_call = make_tiled_fn(model_tile, lat_ts, lat_st, channel=4)
+
+                def model_fn(x, t, c):
+                    return tiled_call(x, t, c)
+            else:
+                model_fn = base_model_fn
+
+            g_target = None
+            if cond_fn is not None:
+                g_target = cond["c_img"]  # latent-space guidance target
+            extra = {}
+            if cond_fn is not None and sampler_type == "spaced":
+                extra = dict(cond_fn=cond_fn, guidance_target=g_target)
             z = sampler.sample(
-                model_fn, x_T, cond, uncond, cfg_scale, steps, k_sample
+                model_fn, x_T, cond, uncond, cfg_scale, steps, k_sample, **extra
             )
-            x = cldm.vae_decode(params, z)
+            x = cldm.vae_decode(
+                params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8
+            )
             return x
 
         fn = jax.jit(generate)
@@ -172,12 +219,36 @@ class Pipeline:
         s_tmax: float = 300.0,
         s_noise: float = 1.0,
         order: int = 1,
-        **_tiling_todo,
+        vae_encoder_tiled: bool = False,
+        vae_encoder_tile_size: int = 256,
+        vae_decoder_tiled: bool = False,
+        vae_decoder_tile_size: int = 256,
+        cldm_tiled: bool = False,
+        cldm_tile_size: int = 512,
+        cldm_tile_stride: int = 256,
     ) -> jax.Array:
-        """Stage-2 generation on a [0,1] NHWC condition image."""
+        """Stage-2 generation on a [0,1] NHWC condition image.
+
+        Size/tile policy mirrors reference pipeline.py:97-143: pad to x64
+        untiled / x8 tiled; tiles must be size-multiples of 8 (VAE) and 64
+        (diffusion); tiny inputs silently disable tiling.
+        """
         bs, h0, w0, _ = cond_img.shape
-        cond_img = pad_to_multiples_of(cond_img, 64)
+        if vae_encoder_tiled and min(h0, w0) < vae_encoder_tile_size:
+            vae_encoder_tiled = False
+        if not vae_encoder_tiled and not cldm_tiled:
+            cond_img = pad_to_multiples_of(cond_img, 64)
+        else:
+            cond_img = pad_to_multiples_of(cond_img, 8)
+        if vae_encoder_tiled and vae_encoder_tile_size % 8 != 0:
+            raise ValueError("VAE encoder tile size must be a multiple of 8")
         h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+        if cldm_tiled and (h1 < cldm_tile_size // 8 or w1 < cldm_tile_size // 8):
+            cldm_tiled = False
+        if cldm_tiled and cldm_tile_size % 64 != 0:
+            raise ValueError("Diffusion tile size must be a multiple of 64")
+        if vae_decoder_tiled and min(h1, w1) < vae_decoder_tile_size // 8:
+            vae_decoder_tiled = False
         pos_tok = jnp.asarray(self.tokenize(pos_prompt, bs))
         neg_tok = jnp.asarray(self.tokenize(neg_prompt, bs))
         if rng is None:
@@ -187,6 +258,9 @@ class Pipeline:
             sampler_type, int(noise_aug), bool(rescale_cfg), float(eta),
             float(s_churn), float(s_tmin), float(s_tmax), float(s_noise),
             int(order), cond_img.shape[1], cond_img.shape[2], bs,
+            bool(vae_encoder_tiled), int(vae_encoder_tile_size),
+            bool(vae_decoder_tiled), int(vae_decoder_tile_size),
+            bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
         )
         fn = self._generate_fn(key)
         x = fn(self.params, cond_img, pos_tok, neg_tok, rng)

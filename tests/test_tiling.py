@@ -1,0 +1,97 @@
+"""Tiling subsystem tests: geometry, blending, tiled-vs-untiled consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.tiling import gaussian_weights, make_tiled_fn, sliding_windows
+
+
+def test_sliding_windows_cover():
+    coords = sliding_windows(100, 70, 32, 24)
+    canvas = np.zeros((100, 70))
+    for hi, wi in coords:
+        canvas[hi:hi + 32, wi:wi + 32] += 1
+    assert canvas.min() >= 1  # full coverage
+
+
+def test_gaussian_weights_positive_peaked():
+    w = gaussian_weights(32, 32)
+    assert w.shape == (32, 32) and np.all(w > 0)
+    assert w[16, 15] > w[0, 0]
+
+
+def test_tiled_identity_exact():
+    # identity fn: tiled result must equal input exactly (blend of identicals)
+    f = make_tiled_fn(lambda x: x, size=16, stride=8)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 48, 40, 3)), jnp.float32)
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_tiled_conv_close_to_full():
+    # 3x3 blur: tiled output differs from full only near tile borders; with
+    # overlap blending the error must stay small
+    k = jnp.ones((3, 3, 1, 3)) / 9.0  # depthwise-ish blur
+
+    def blur(x):
+        return jax.lax.conv_general_dilated(
+            x, jnp.tile(k[:, :, :, :1], (1, 1, 1, 3))[:, :, :1], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+        )
+
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 3)), jnp.float32)
+    full = blur(x)
+    tiled = make_tiled_fn(blur, size=32, stride=16)(x)
+    diff = np.abs(np.asarray(full) - np.asarray(tiled))
+    assert np.median(diff) < 1e-5
+    assert diff.mean() < 5e-3
+
+
+def test_tiled_scale_up():
+    def up2(x):
+        b, h, w, c = x.shape
+        return jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+
+    f = make_tiled_fn(up2, size=16, stride=8, scale_type="up", scale=2)
+    x = jnp.asarray(np.random.default_rng(2).random((1, 32, 32, 3)), jnp.float32)
+    out = f(x)
+    assert out.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(up2(x)), atol=1e-5)
+
+
+def test_tiled_vae_consistency():
+    from diffbir_tpu.models.cldm import ControlLDM
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    img = jnp.asarray(np.random.default_rng(3).random((1, 128, 128, 3)) * 2 - 1, jnp.float32)
+    z_full = cldm.vae_encode(params, img, sample=False)
+    z_tiled = cldm.vae_encode(params, img, sample=False, tiled=True, tile_size=64)
+    assert z_tiled.shape == z_full.shape
+    # random-init VAE: just require tiled path to be finite and broadly similar
+    assert np.all(np.isfinite(np.asarray(z_tiled)))
+    dec_full = cldm.vae_decode(params, z_full)
+    dec_tiled = cldm.vae_decode(params, z_full, tiled=True, tile_size=8)
+    assert dec_tiled.shape == dec_full.shape
+    assert np.all(np.isfinite(np.asarray(dec_tiled)))
+
+
+def test_tiled_diffusion_e2e():
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.pipeline import IdentityCleanerPipeline
+    from diffbir_tpu.schedule import Schedule
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=100)
+    pipe = IdentityCleanerPipeline(None, cldm, params, schedule, min_cond_size=64)
+    lq = np.random.default_rng(4).integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    out = pipe.run(
+        lq, steps=2, cfg_scale=1.0, sampler_type="spaced",
+        cldm_tiled=True, cldm_tile_size=64, cldm_tile_stride=32,
+        vae_decoder_tiled=True, vae_decoder_tile_size=64,
+    )
+    assert out.shape == (1, 128, 128, 3)
