@@ -1,0 +1,153 @@
+"""Stage-2 IRControlNet trainer entry point.
+
+Behavioral parity target: /root/reference/train_stage2.py:20-241 — frozen SD
+(unet/vae/clip) + frozen SwinIR condition; ControlNet-only AdamW; v/eps
+p_losses; controlnet-only deployable checkpoint every ckpt_every; periodic
+50-step SpacedSampler preview grids.
+
+TPU-native: data mesh via jax.sharding; one jitted train step (grad psum by
+XLA); orbax checkpoints: full train state for resume + controlnet-only
+subtree as the deployable artifact.
+"""
+
+import argparse
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffbir_tpu import config as cfglib
+    from diffbir_tpu import dataset as _ds  # noqa: F401
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.models.tokenizer import get_tokenizer
+    from diffbir_tpu.parallel.mesh import make_mesh
+    from diffbir_tpu.sampler import SpacedSampler
+    from diffbir_tpu.schedule import Schedule
+    from diffbir_tpu.train import stage2
+    from diffbir_tpu.weights.convert import fill_flax_params, load_torch_state_dict
+    from diffbir_tpu.inference.pretrained_models import resolve_model
+
+    cfg = cfglib.load_yaml(args.config)
+    tcfg = cfg["train"]
+    os.makedirs(tcfg["exp_dir"], exist_ok=True)
+
+    mesh = make_mesh(n_data=tcfg.get("n_data"))
+    n_data = mesh.shape["data"]
+    bs = tcfg["batch_size"]
+    assert bs % n_data == 0
+    print(f"mesh: data={n_data}; global batch {bs}")
+
+    # ---- models ----
+    cldm = ControlLDM.sd21(
+        dtype=jnp.bfloat16, use_checkpoint=bool(cfg["model"]["cldm"].get("use_checkpoint"))
+    )
+    schedule = Schedule.create(
+        timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120,
+        parameterization=cfg["model"].get("parameterization", "eps"),
+        zero_snr=bool(cfg["model"].get("zero_snr", False)),
+    )
+    shapes = cldm.eval_shapes((64, 64))
+    sd = load_torch_state_dict(resolve_model(tcfg["sd_path"]))
+    params = cldm.load_pretrained_sd(shapes, sd)
+    # controlnet init from the loaded UNet with zero-padded hint channels
+    cn_shapes = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes["controlnet"]
+    )
+    params = {**params, "controlnet": cn_shapes}
+    params = cldm.load_controlnet_from_unet(params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    swinir = cfglib.instantiate(cfg["model"]["swinir"], dtype=jnp.bfloat16)
+    swin_sd = load_torch_state_dict(resolve_model(tcfg["swinir_path"]))
+    swin_shapes = jax.eval_shape(
+        swinir.init, jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3), jnp.float32)
+    )
+    swin_params, _, _ = fill_flax_params(swin_shapes, swin_sd, strict=True)
+    swin_params = jax.tree_util.tree_map(jnp.asarray, swin_params)
+    cleaner_apply = lambda x: jnp.clip(swinir.apply(swin_params, x), 0.0, 1.0)  # noqa: E731
+
+    tokenizer = get_tokenizer()
+
+    # ---- training state ----
+    optimizer = stage2.make_optimizer(float(tcfg["learning_rate"]))
+    state = stage2.init_train_state(params, optimizer)
+    train_step = jax.jit(
+        stage2.make_train_step(
+            cldm, schedule, optimizer, cleaner_apply,
+            noise_aug_timestep=int(tcfg.get("noise_aug_timestep", 0)),
+        )
+    )
+    ckpt_mgr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(tcfg["exp_dir"], "checkpoints")),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3),
+    )
+    if tcfg.get("resume"):
+        state = ckpt_mgr.restore(int(tcfg["resume"]), args=ocp.args.StandardRestore(state))
+        print(f"resumed @ {int(state.step)}")
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P("data"))
+    state = jax.device_put(state, rep)
+
+    # ---- data ----
+    ds = cfglib.instantiate(cfg["dataset"]["train"])
+    bt = cfglib.instantiate(cfg["batch_transform"])
+    it = ds.as_iterator(bs, seed=tcfg.get("seed", 231))
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(tcfg["exp_dir"], "tb"))
+    except ImportError:
+        writer = None
+
+    deploy_ckptr = ocp.StandardCheckpointer()
+    rng = jax.random.PRNGKey(tcfg.get("seed", 231))
+    step = int(state.step)
+    t0 = time.time()
+    while step < tcfg["train_steps"]:
+        raw = next(it)
+        batch = bt(raw)
+        tokens = tokenizer(batch["txt"] if "txt" in batch else batch["prompt"])
+        dev_batch = jax.device_put(
+            {"gt": batch["gt"], "lq": batch["lq"], "tokens": tokens}, dat
+        )
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, dev_batch, sub)
+        step += 1
+        if step % tcfg["log_every"] == 0:
+            loss = float(metrics["loss"])
+            ips = tcfg["log_every"] * bs / (time.time() - t0)
+            t0 = time.time()
+            print(f"step {step}: loss={loss:.4f} grad={float(metrics['grad_norm']):.3f} images/s={ips:.1f}")
+            if writer:
+                writer.add_scalar("train/loss", loss, step)
+        if step % tcfg["ckpt_every"] == 0:
+            ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
+            # deployable artifact: controlnet subtree only (train_stage2.py:178-182)
+            deploy_ckptr.save(
+                os.path.abspath(os.path.join(tcfg["exp_dir"], f"controlnet_{step}")),
+                {"controlnet": jax.device_get(state.params["controlnet"])},
+            )
+            print(f"saved checkpoints @ {step}")
+    ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
+    ckpt_mgr.wait_until_finished()
+
+
+if __name__ == "__main__":
+    main()
