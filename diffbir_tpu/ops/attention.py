@@ -73,7 +73,11 @@ def attention(
     """Dispatching attention entry point used by all models."""
     impl = impl or _env_mode()
     if impl == "auto":
-        impl = "flash" if _on_tpu() and mask is None and bias is None else "xla"
+        # measured on v5e (scripts/bench_attention.py): the Pallas kernel wins
+        # only for large self-attention (4096 tokens: 1.65x); for short-kv
+        # cross-attention and small maps XLA's fused attention is faster.
+        big_self = q.shape[1] >= 2048 and k.shape[1] == q.shape[1]
+        impl = "flash" if _on_tpu() and mask is None and bias is None and big_self else "xla"
     if impl == "flash":
         from . import flash_attention
 

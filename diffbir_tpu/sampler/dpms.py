@@ -59,6 +59,11 @@ class _DiscreteVPSchedule:
         """Continuous t -> discrete model timestep input."""
         return (t - 1.0 / self.total_N) * 1000.0
 
+    def inverse_lambda(self, lamb):
+        """half-logSNR -> continuous time (lambda is decreasing in t)."""
+        lams = self.lam(self.t_array)
+        return float(np.interp(lamb, lams[::-1], self.t_array[::-1]))
+
 
 class DPMSolverSampler(Sampler):
     def __init__(self, betas, parameterization, rescale_cfg, model_spec: str):
@@ -67,10 +72,6 @@ class DPMSolverSampler(Sampler):
         self.algorithm = {"dpm": "dpmsolver", "dpm++": "dpmsolver++"}[solver]
         self.method = {"s": "singlestep", "m": "multistep"}[mo[0]]
         self.order = int(mo[1])
-        if self.method != "multistep":
-            raise NotImplementedError(
-                "singlestep DPM-Solver not implemented yet; use dpm++_m{1,2,3}"
-            )
 
     def sample(
         self,
@@ -170,6 +171,9 @@ class DPMSolverSampler(Sampler):
                 return second_update(x, m_prev, t_prev, t)
             return third_update(x, m_prev, t_prev, t)
 
+        if self.method == "singlestep":
+            return self._sample_singlestep(eval_model, ns, x_T, steps)
+
         order = self.order
         x = x_T
         t_prev = [ts[0]]
@@ -192,4 +196,101 @@ class DPMSolverSampler(Sampler):
                 m_prev = (m_prev[1:] if len(m_prev) >= order else m_prev) + [
                     eval_model(x, t)
                 ]
+        return x
+
+    # ------------------------------------------------------------------ #
+    def _sample_singlestep(self, eval_model, ns, x_T, steps):
+        """Singlestep DPM-Solver-fast: mixed-order blocks using all NFE
+        (dpm_solver_pytorch.py:500-563, 610-812; 'dpmsolver' update type)."""
+        order = self.order
+        if order == 3:
+            K = steps // 3 + 1
+            orders = {0: [3] * (K - 2) + [2, 1], 1: [3] * (K - 1) + [1],
+                      2: [3] * (K - 1) + [2]}[steps % 3]
+        elif order == 2:
+            K = steps // 2
+            orders = [2] * K if steps % 2 == 0 else [2] * K + [1]
+        else:
+            orders = [1] * steps
+        t_T, t_0 = ns.T, 1.0 / ns.total_N
+        fine = np.linspace(t_T, t_0, steps + 1)
+        outer = fine[np.cumsum([0] + orders)]
+        data_pred = self.algorithm == "dpmsolver++"
+
+        def sigma(t):
+            return ns.sigma(t)
+
+        def alpha(t):
+            return ns.alpha(t)
+
+        x = x_T
+        for blk, o in enumerate(orders):
+            s, t = outer[blk], outer[blk + 1]
+            ls, lt = ns.lam(s), ns.lam(t)
+            h = lt - ls
+            model_s = eval_model(x, s)
+            if o == 1:
+                if data_pred:
+                    x = (sigma(t) / sigma(s)) * x - alpha(t) * np.expm1(-h) * model_s
+                else:
+                    x = np.exp(ns.log_alpha(t) - ns.log_alpha(s)) * x - sigma(t) * np.expm1(h) * model_s
+                continue
+            r1 = 0.5 if o == 2 else 1.0 / 3.0
+            s1 = ns.inverse_lambda(ls + r1 * h)
+            if data_pred:
+                x_s1 = (sigma(s1) / sigma(s)) * x - alpha(s1) * np.expm1(-r1 * h) * model_s
+            else:
+                x_s1 = np.exp(ns.log_alpha(s1) - ns.log_alpha(s)) * x - sigma(s1) * np.expm1(r1 * h) * model_s
+            model_s1 = eval_model(x_s1, s1)
+            if o == 2:
+                if data_pred:
+                    phi_1 = np.expm1(-h)
+                    x = (
+                        (sigma(t) / sigma(s)) * x
+                        - alpha(t) * phi_1 * model_s
+                        - (0.5 / r1) * alpha(t) * phi_1 * (model_s1 - model_s)
+                    )
+                else:
+                    phi_1 = np.expm1(h)
+                    x = (
+                        np.exp(ns.log_alpha(t) - ns.log_alpha(s)) * x
+                        - sigma(t) * phi_1 * model_s
+                        - (0.5 / r1) * sigma(t) * phi_1 * (model_s1 - model_s)
+                    )
+                continue
+            # order 3
+            r2 = 2.0 / 3.0
+            s2 = ns.inverse_lambda(ls + r2 * h)
+            if data_pred:
+                phi_12 = np.expm1(-r2 * h)
+                phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0
+                x_s2 = (
+                    (sigma(s2) / sigma(s)) * x
+                    - alpha(s2) * phi_12 * model_s
+                    + (r2 / r1) * alpha(s2) * phi_22 * (model_s1 - model_s)
+                )
+                model_s2 = eval_model(x_s2, s2)
+                phi_1 = np.expm1(-h)
+                phi_2 = phi_1 / h + 1.0
+                x = (
+                    (sigma(t) / sigma(s)) * x
+                    - alpha(t) * phi_1 * model_s
+                    + (1.0 / r2) * alpha(t) * phi_2 * (model_s2 - model_s)
+                )
+            else:
+                phi_12 = np.expm1(r2 * h)
+                phi_22 = np.expm1(r2 * h) / (r2 * h) - 1.0
+                x_s2 = (
+                    np.exp(ns.log_alpha(s2) - ns.log_alpha(s)) * x
+                    - sigma(s2) * phi_12 * model_s
+                    - (r2 / r1) * sigma(s2) * phi_22 * (model_s1 - model_s)
+                )
+                model_s2 = eval_model(x_s2, s2)
+                phi_1 = np.expm1(h)
+                phi_2 = phi_1 / h - 1.0
+                x = (
+                    np.exp(ns.log_alpha(t) - ns.log_alpha(s)) * x
+                    - sigma(t) * phi_1 * model_s
+                    - (1.0 / r2) * sigma(t) * phi_2 * (model_s2 - model_s)
+                )
         return x

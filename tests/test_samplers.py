@@ -105,3 +105,10 @@ def test_edm_v_param(setup):
     sched = Schedule.create(timesteps=100, parameterization="v", zero_snr=True)
     s = EDMSampler(sched.betas, "v", rescale_cfg=True, solver_type="edm_dpm++_3m_sde")
     _run(s, model_fn, cond, uncond, steps=4)
+
+
+def test_dpm_solver_singlestep(setup):
+    schedule, model_fn, cond, uncond = setup
+    for spec in ["dpm++_s2", "dpm++_s3", "dpm_s2"]:
+        s = DPMSolverSampler(schedule.betas, "eps", rescale_cfg=False, model_spec=spec)
+        _run(s, model_fn, cond, uncond, steps=6)

@@ -1,0 +1,68 @@
+"""Parity for image-space utils (wavelet color fix, PSNR, tiling weights)."""
+
+import importlib.util
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from diffbir_tpu.tiling import gaussian_weights
+from diffbir_tpu.utils.common import psnr, wavelet_reconstruction
+
+REF = pathlib.Path("/root/reference/diffbir/utils/common.py")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_common():
+    import types
+
+    # stub deps the module pulls in but we don't exercise
+    if "tqdm" not in sys.modules:
+        tqdm_mod = types.ModuleType("tqdm")
+        tqdm_mod.tqdm = lambda x, **k: x
+        sys.modules["tqdm"] = tqdm_mod
+    spec = importlib.util.spec_from_file_location("ref_common", REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_wavelet_reconstruction_parity(ref_common):
+    import torch
+
+    g = np.random.default_rng(0)
+    content = g.random((1, 64, 64, 3)).astype(np.float32)
+    style = g.random((1, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(wavelet_reconstruction(jnp.asarray(content), jnp.asarray(style)))
+    with torch.no_grad():
+        theirs = ref_common.wavelet_reconstruction(
+            torch.from_numpy(content.transpose(0, 3, 1, 2)),
+            torch.from_numpy(style.transpose(0, 3, 1, 2)),
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_psnr_parity(ref_common):
+    import torch
+
+    g = np.random.default_rng(1)
+    a = g.random((2, 32, 32, 3)).astype(np.float32)
+    b = np.clip(a + g.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    ours = np.asarray(psnr(jnp.asarray(a), jnp.asarray(b), crop_border=2, test_y=True))
+    with torch.no_grad():
+        theirs = ref_common.calculate_psnr_pt(
+            torch.from_numpy(a.transpose(0, 3, 1, 2)),
+            torch.from_numpy(b.transpose(0, 3, 1, 2)),
+            crop_border=2, test_y_channel=True,
+        ).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3)
+
+
+def test_gaussian_weights_parity(ref_common):
+    ours = gaussian_weights(32, 24)
+    theirs = ref_common.gaussian_weights(32, 24)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
