@@ -90,11 +90,32 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale, kv_l
         o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
 
 
+@jax.custom_vjp
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]. Forward = Pallas kernel;
+    backward differentiates the XLA reference formulation (recompute)."""
+    return _flash_attention_impl(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _flash_attention_impl(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    from .attention import xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(xla_attention, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_attention(
+def _flash_attention_impl(
     q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     sm_scale = d ** -0.5

@@ -1,0 +1,55 @@
+"""Pallas flash-attention kernel correctness (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.ops.attention import xla_attention
+from diffbir_tpu.ops.flash_attention import _flash_attention_impl, flash_attention, supported
+
+
+@pytest.mark.parametrize("sq,skv", [(256, 256), (256, 77)])
+def test_flash_matches_xla(sq, skv):
+    k = jax.random.PRNGKey(0)
+    q = jax.random.normal(k, (1, sq, 2, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, skv, 2, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, skv, 2, 64), jnp.float32)
+    ref = xla_attention(q, kk, v)
+    out = _flash_attention_impl(q, kk, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradient_via_custom_vjp():
+    # backward path must exist (differentiates the XLA formulation)
+    k = jax.random.PRNGKey(0)
+    q = jax.random.normal(k, (1, 128, 1, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 1, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 1, 64), jnp.float32)
+
+    def loss_flash(q):
+        # interpret-mode forward through the vjp-wrapped op
+        return jnp.sum(flash_attention(q, kk, v) ** 2)
+
+    def loss_xla(q):
+        return jnp.sum(xla_attention(q, kk, v) ** 2)
+
+    # CPU: flash forward runs the pallas interpreter only if invoked directly;
+    # here we only check the registered vjp agrees with xla's gradient.
+    g_x = jax.grad(loss_xla)(q)
+    try:
+        g_f = jax.grad(loss_flash)(q)
+    except Exception:
+        pytest.skip("pallas compile unavailable on this platform")
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x), atol=1e-4, rtol=1e-3)
+
+
+def test_supported_gate():
+    q = jnp.zeros((1, 4096, 5, 64))
+    k77 = jnp.zeros((1, 77, 5, 64))
+    assert supported(q, q, q)
+    assert supported(q, k77, k77)
+    assert not supported(q, q, q, mask=jnp.ones((1, 1, 1, 1), bool))
+    q_small = jnp.zeros((1, 64, 5, 64))
+    assert not supported(q_small, q_small, q_small)  # sq < 128
