@@ -46,9 +46,7 @@ def build_captioner(name: str) -> Captioner:
         )
         return RAMCaptioner()
     if name == "llava":
-        raise NotImplementedError(
-            "LLaVA captioning runs as an external preprocessing stage on TPU "
-            "deployments; pass prompts via --pos_prompt or a prompt file, or "
-            "use --captioner ram"
-        )
+        from ..captioners.llava import LLaVACaptioner
+
+        return LLaVACaptioner()
     raise ValueError(f"unsupported captioner: {name}")

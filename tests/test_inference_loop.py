@@ -1,0 +1,91 @@
+"""InferenceLoop integration test with tiny stubbed models (CPU)."""
+
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.inference.loop import InferenceLoop
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.pipeline import IdentityCleanerPipeline
+from diffbir_tpu.schedule import Schedule
+
+
+class TinyLoop(InferenceLoop):
+    def load_cleaner(self):
+        pass
+
+    def load_cldm(self):
+        self.cldm = ControlLDM.tiny()
+        self.params = jax.jit(self.cldm.init_params, static_argnums=1)(
+            jax.random.PRNGKey(0), (8, 8)
+        )
+        self.schedule = Schedule.create(timesteps=50)
+
+    def load_pipeline(self):
+        self.pipeline = IdentityCleanerPipeline(
+            None, self.cldm, self.params, self.schedule, min_cond_size=64
+        )
+
+
+def test_loop_run(tmp_path):
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    g = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray((g.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+            in_dir / f"img{i}.png"
+        )
+
+    args = Namespace(
+        input=str(in_dir), output=str(out_dir), n_samples=1, steps=2,
+        strength=1.0, pos_prompt="test prompt", neg_prompt="bad", cfg_scale=1.5,
+        start_point_type="noise", sampler="spaced", noise_aug=0,
+        rescale_cfg=False, cleaner_tiled=False, cleaner_tile_size=512,
+        cleaner_tile_stride=256, seed=3, captioner="none", guidance=False,
+        version="v2.1", task="sr", upscale=1.0, precision="fp32",
+    )
+    loop = TinyLoop(args)
+    loop.run()
+
+    outs = sorted(os.listdir(out_dir))
+    assert "img0.png" in outs and "img1.png" in outs and "prompt.csv" in outs
+    img = np.array(Image.open(out_dir / "img0.png"))
+    assert img.shape == (64, 64, 3)
+    csv_text = (out_dir / "prompt.csv").read_text()
+    assert "test prompt" in csv_text
+
+
+def test_guided_sampling_moves_toward_target():
+    """MSE guidance must pull pred_x0 toward the target latent."""
+    from diffbir_tpu.sampler import SpacedSampler
+    from diffbir_tpu.utils.cond_fn import MSEGuidance
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=50)
+    cond = {"c_txt": jnp.zeros((1, 77, 64)), "c_img": jnp.zeros((1, 8, 8, 4))}
+    target = jnp.full((1, 8, 8, 4), 0.7)
+
+    def model_fn(x, t, c):
+        return cldm(params, x, t, c)
+
+    s = SpacedSampler(schedule.betas, "eps", rescale_cfg=False)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    base = s.sample(model_fn, x_T, cond, None, 1.0, 4, jax.random.PRNGKey(2))
+    # scale is multiplied by 3000 internally; keep the per-step update
+    # contracting (|1 - 2*scale*3000/n_elem| < 1) for this 4-step toy
+    g = MSEGuidance(scale=0.01, t_start=1001, t_stop=-1, space="latent", repeat=1)
+    guided = s.sample(
+        model_fn, x_T, cond, None, 1.0, 4, jax.random.PRNGKey(2),
+        cond_fn=g, guidance_target=target,
+    )
+    d_base = float(jnp.mean((base - target) ** 2))
+    d_guided = float(jnp.mean((guided - target) ** 2))
+    assert d_guided < d_base
