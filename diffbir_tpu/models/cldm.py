@@ -154,8 +154,21 @@ class ControlLDM:
         z: jax.Array,
         tiled: bool = False,
         tile_size: int = 256,
+        tile_mode: str = "blend",
     ) -> jax.Array:
-        """tile_size is in LATENT pixels when tiled (pipeline divides by 8)."""
+        """tile_size is in LATENT pixels when tiled (pipeline divides by 8).
+
+        tile_mode:
+        - "blend": overlapping tiles + Gaussian blending (bounded memory,
+          chunked execution).
+        - "sync_gn": non-overlapping tiles with an 11-px latent halo ride the
+          batch axis and every GroupNorm reduces across ALL tiles — the exact
+          cross-tile statistics aggregation of the reference tiled VAE
+          (tilevae.py:232-304), mathematically seam-free. Requires batch 1
+          and enough HBM to hold all tiles at once.
+        """
+        if tiled and tile_mode == "sync_gn":
+            return self._vae_decode_sync(params, z, tile_size)
         if tiled:
             from ..tiling import make_tiled_fn
 
@@ -166,6 +179,37 @@ class ControlLDM:
                 dec, tile_size, tile_size // 2, scale_type="up", scale=8, channel=3
             )(z)
         return self.vae.apply(params["vae"], z / self.scale_factor, method=self.vae.decode)
+
+    def _vae_decode_sync(
+        self, params: Params, z: jax.Array, tile_size: int, halo: int = 11
+    ) -> jax.Array:
+        from .vae import Decoder
+
+        assert z.shape[0] == 1, "sync_gn tiling supports batch 1"
+        b, h, w, c = z.shape
+        ts = tile_size
+        ph = (ts - h % ts) % ts
+        pw = (ts - w % ts) % ts
+        zp = jnp.pad(z, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)), mode="edge")
+        z_in = self.vae.apply(
+            params["vae"], zp / self.scale_factor, method=lambda m, v: m.post_quant_conv(v)
+        )
+        tiles = []
+        coords = [(i, j) for i in range(0, h + ph, ts) for j in range(0, w + pw, ts)]
+        for i, j in coords:
+            tiles.append(z_in[:, i: i + ts + 2 * halo, j: j + ts + 2 * halo, :])
+        batch = jnp.concatenate(tiles, axis=0)
+        dec = Decoder(
+            ch=self.vae.ch, out_ch=self.vae.out_ch, ch_mult=self.vae.ch_mult,
+            num_res_blocks=self.vae.num_res_blocks, z_channels=self.vae.z_channels,
+            dtype=self.vae.dtype, gn_cross=True,
+        )
+        out_tiles = dec.apply({"params": params["vae"]["params"]["decoder"]}, batch)
+        out = jnp.zeros((1, (h + ph) * 8, (w + pw) * 8, 3), out_tiles.dtype)
+        for t_idx, (i, j) in enumerate(coords):
+            valid = out_tiles[t_idx: t_idx + 1, halo * 8: (halo + ts) * 8, halo * 8: (halo + ts) * 8, :]
+            out = out.at[:, i * 8: (i + ts) * 8, j * 8: (j + ts) * 8, :].set(valid)
+        return out[:, : h * 8, : w * 8, :]
 
     def encode_text(self, params: Params, tokens: jax.Array) -> jax.Array:
         return self.clip.apply(params["clip"], tokens)

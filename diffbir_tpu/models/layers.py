@@ -47,6 +47,10 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     eps: float = 1e-5
+    # cross_batch=True also reduces over axis 0: used by the seam-free tiled
+    # VAE where non-overlapping tiles of ONE image ride the batch axis and
+    # GroupNorm statistics must be global (SURVEY.md §5.7, tilevae GN sync).
+    cross_batch: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,7 +63,8 @@ class GroupNorm32(nn.Module):
         xf = x.astype(jnp.float32)
         shape = xf.shape
         xg = xf.reshape(shape[:-1] + (g, c // g))
-        axes = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        start = 0 if self.cross_batch else 1
+        axes = tuple(range(start, xf.ndim - 1)) + (xf.ndim,)
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.var(xg, axis=axes, keepdims=True)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)

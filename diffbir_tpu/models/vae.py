@@ -22,19 +22,21 @@ from flax import linen as nn
 from ..ops.attention import attention
 from .layers import Dtype, GroupNorm32, conv, nearest_upsample_2x
 
-Norm = lambda name: GroupNorm32(num_groups=32, eps=1e-6, name=name)  # noqa: E731
+def Norm(name, cross=False):
+    return GroupNorm32(num_groups=32, eps=1e-6, cross_batch=cross, name=name)
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = Norm("norm1")(x)
+        h = Norm("norm1", self.gn_cross)(x)
         h = nn.silu(h)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = Norm("norm2")(h)
+        h = Norm("norm2", self.gn_cross)(h)
         h = nn.silu(h)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -47,11 +49,12 @@ class AttnBlock(nn.Module):
 
     channels: int
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        hn = Norm("norm")(x)
+        hn = Norm("norm", self.gn_cross)(x)
         q = conv(c, 1, padding=0, dtype=self.dtype, name="q")(hn)
         k = conv(c, 1, padding=0, dtype=self.dtype, name="k")(hn)
         v = conv(c, 1, padding=0, dtype=self.dtype, name="v")(hn)
@@ -90,11 +93,12 @@ class _Down(nn.Module):
     num_res_blocks: int
     with_downsample: bool
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for j in range(self.num_res_blocks):
-            x = ResnetBlock(self.block_out, dtype=self.dtype, name=f"block.{j}")(x)
+            x = ResnetBlock(self.block_out, dtype=self.dtype, gn_cross=self.gn_cross, name=f"block.{j}")(x)
         if self.with_downsample:
             x = VAEDownsample(x.shape[-1], dtype=self.dtype, name="downsample")(x)
         return x
@@ -105,11 +109,12 @@ class _Up(nn.Module):
     num_res_blocks: int  # decoder runs num_res_blocks + 1
     with_upsample: bool
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for j in range(self.num_res_blocks + 1):
-            x = ResnetBlock(self.block_out, dtype=self.dtype, name=f"block.{j}")(x)
+            x = ResnetBlock(self.block_out, dtype=self.dtype, gn_cross=self.gn_cross, name=f"block.{j}")(x)
         if self.with_upsample:
             x = VAEUpsample(x.shape[-1], dtype=self.dtype, name="upsample")(x)
         return x
@@ -122,6 +127,7 @@ class Encoder(nn.Module):
     z_channels: int = 4
     double_z: bool = True
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -133,13 +139,14 @@ class Encoder(nn.Module):
                 self.num_res_blocks,
                 with_downsample=(i != n - 1),
                 dtype=self.dtype,
+                gn_cross=self.gn_cross,
                 name=f"down.{i}",
             )(h)
         c = self.ch * self.ch_mult[-1]
-        h = ResnetBlock(c, dtype=self.dtype, name="mid.block_1")(h)
-        h = AttnBlock(c, dtype=self.dtype, name="mid.attn_1")(h)
-        h = ResnetBlock(c, dtype=self.dtype, name="mid.block_2")(h)
-        h = Norm("norm_out")(h)
+        h = ResnetBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.block_1")(h)
+        h = AttnBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.attn_1")(h)
+        h = ResnetBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.block_2")(h)
+        h = Norm("norm_out", self.gn_cross)(h)
         h = nn.silu(h)
         out_c = 2 * self.z_channels if self.double_z else self.z_channels
         return conv(out_c, 3, dtype=jnp.float32, name="conv_out")(h.astype(jnp.float32))
@@ -152,24 +159,26 @@ class Decoder(nn.Module):
     num_res_blocks: int = 2
     z_channels: int = 4
     dtype: Dtype = jnp.float32
+    gn_cross: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         n = len(self.ch_mult)
         c = self.ch * self.ch_mult[-1]
         h = conv(c, 3, dtype=self.dtype, name="conv_in")(z.astype(self.dtype))
-        h = ResnetBlock(c, dtype=self.dtype, name="mid.block_1")(h)
-        h = AttnBlock(c, dtype=self.dtype, name="mid.attn_1")(h)
-        h = ResnetBlock(c, dtype=self.dtype, name="mid.block_2")(h)
+        h = ResnetBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.block_1")(h)
+        h = AttnBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.attn_1")(h)
+        h = ResnetBlock(c, dtype=self.dtype, gn_cross=self.gn_cross, name="mid.block_2")(h)
         for i in reversed(range(n)):
             h = _Up(
                 self.ch * self.ch_mult[i],
                 self.num_res_blocks,
                 with_upsample=(i != 0),
                 dtype=self.dtype,
+                gn_cross=self.gn_cross,
                 name=f"up.{i}",
             )(h)
-        h = Norm("norm_out")(h)
+        h = Norm("norm_out", self.gn_cross)(h)
         h = nn.silu(h)
         return conv(self.out_ch, 3, dtype=jnp.float32, name="conv_out")(h.astype(jnp.float32))
 

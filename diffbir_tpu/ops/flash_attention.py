@@ -29,9 +29,11 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _block_sizes(sq: int, skv: int):
-    bq = min(512, sq)
-    bk = min(512, skv)
-    return bq, bk
+    import os
+
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 512))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", 512))
+    return min(bq, sq), min(bk, skv)
 
 
 def supported(q, k, v, mask=None, bias=None) -> bool:
