@@ -29,10 +29,12 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _block_sizes(sq: int, skv: int):
+    # (1024, 1024) measured fastest for the 4096-token UNet self-attention on
+    # v5e (0.91 ms vs 1.29 ms at (512, 512)); see scripts/bench_attention.py.
     import os
 
-    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 512))
-    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", 512))
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 1024))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", 1024))
     return min(bq, sq), min(bk, skv)
 
 

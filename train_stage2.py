@@ -117,6 +117,23 @@ def main():
         writer = None
 
     deploy_ckptr = ocp.StandardCheckpointer()
+
+    # periodic preview sampling (train_stage2.py:184-223): 50-step spaced
+    # sampler on the current batch's condition, logged as image grids
+    preview_sampler = SpacedSampler(schedule.betas, schedule.parameterization, False)
+
+    def preview(params, clean, tokens, rng):
+        cond = cldm.prepare_condition(params, clean, tokens)
+        x_T = jax.random.normal(rng, cond["c_img"].shape, jnp.float32)
+
+        def model_fn(x, t, c):
+            return cldm(params, x, t, c)
+
+        z = preview_sampler.sample(model_fn, x_T, cond, None, 1.0, 50, rng)
+        return jnp.clip((cldm.vae_decode(params, z) + 1) / 2, 0.0, 1.0)
+
+    preview_fn = jax.jit(preview)
+
     rng = jax.random.PRNGKey(tcfg.get("seed", 231))
     step = int(state.step)
     t0 = time.time()
@@ -137,6 +154,17 @@ def main():
             print(f"step {step}: loss={loss:.4f} grad={float(metrics['grad_norm']):.3f} images/s={ips:.1f}")
             if writer:
                 writer.add_scalar("train/loss", loss, step)
+        if writer and step % tcfg.get("image_every", 1000) == 0:
+            n = min(4, bs)
+            clean_small = cleaner_apply(dev_batch["lq"][:n])
+            grid = preview_fn(state.params, clean_small, dev_batch["tokens"][:n],
+                              jax.random.fold_in(rng, step))
+            writer.add_images(
+                "train/preview", np.asarray(grid).transpose(0, 3, 1, 2), step
+            )
+            writer.add_images(
+                "train/lq", np.asarray(dev_batch["lq"][:n]).transpose(0, 3, 1, 2), step
+            )
         if step % tcfg["ckpt_every"] == 0:
             ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
             # deployable artifact: controlnet subtree only (train_stage2.py:178-182)
