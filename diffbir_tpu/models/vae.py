@@ -231,7 +231,39 @@ def gaussian_sample(mean: jax.Array, logvar: jax.Array, rng: jax.Array) -> jax.A
     return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
 
 
-def gaussian_kl(mean: jax.Array, logvar: jax.Array) -> jax.Array:
-    """KL(q || N(0,1)) summed over non-batch dims (distributions.py:47-60)."""
+def gaussian_kl(
+    mean: jax.Array,
+    logvar: jax.Array,
+    other_mean: Optional[jax.Array] = None,
+    other_logvar: Optional[jax.Array] = None,
+) -> jax.Array:
+    """KL(q || N(0,1)) or KL(q || other), summed over non-batch dims
+    (distributions.py:47-60)."""
+    axes = tuple(range(1, mean.ndim))
     var = jnp.exp(logvar)
-    return 0.5 * jnp.sum(mean**2 + var - 1.0 - logvar, axis=tuple(range(1, mean.ndim)))
+    if other_mean is None:
+        return 0.5 * jnp.sum(mean**2 + var - 1.0 - logvar, axis=axes)
+    other_var = jnp.exp(other_logvar)
+    return 0.5 * jnp.sum(
+        (mean - other_mean) ** 2 / other_var + var / other_var
+        - 1.0 - logvar + other_logvar,
+        axis=axes,
+    )
+
+
+def gaussian_nll(sample: jax.Array, mean: jax.Array, logvar: jax.Array) -> jax.Array:
+    """Negative log likelihood, summed over non-batch dims (distributions.py:62-74)."""
+    log2pi = float(np.log(2.0 * np.pi)) if False else 1.8378770664093453
+    var = jnp.exp(logvar)
+    return 0.5 * jnp.sum(
+        log2pi + logvar + (sample - mean) ** 2 / var,
+        axis=tuple(range(1, sample.ndim)),
+    )
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """Elementwise KL between two diagonal gaussians (distributions.py:77-92)."""
+    return 0.5 * (
+        -1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+        + (mean1 - mean2) ** 2 * jnp.exp(-logvar2)
+    )

@@ -92,3 +92,39 @@ def test_stage1_train_step_dp():
     state, metrics = step_fn(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_batch_parallel_inference():
+    """8 images across 8 devices: one jitted sampler program, batch-sharded."""
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.parallel.inference import batch_parallel, shard_for_batch_parallel
+    from diffbir_tpu.sampler import SpacedSampler
+    from diffbir_tpu.schedule import Schedule
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=50)
+    sampler = SpacedSampler(schedule.betas, "eps", rescale_cfg=False)
+    mesh = make_mesh(n_data=8)
+
+    def restore(params, cond_img, x_T, rng):
+        tokens = jnp.zeros((cond_img.shape[0], 77), jnp.int32)
+        cond = cldm.prepare_condition(params, cond_img, tokens)
+
+        def model_fn(x, t, c):
+            return cldm(params, x, t, c)
+
+        z = sampler.sample(model_fn, x_T, cond, None, 1.0, 2, rng)
+        return cldm.vae_decode(params, z)
+
+    batch = {
+        "cond_img": jnp.asarray(np.random.default_rng(0).random((8, 64, 64, 3)), jnp.float32),
+        "x_T": jnp.asarray(np.random.default_rng(1).standard_normal((8, 8, 8, 4)), jnp.float32),
+    }
+    params_s, batch_s = shard_for_batch_parallel(mesh, params, batch)
+    rng = jax.device_put(jax.random.PRNGKey(2), NamedSharding(mesh, P()))
+    fn = batch_parallel(restore, mesh)
+    out = fn(params_s, batch_s["cond_img"], batch_s["x_T"], rng)
+    assert out.shape == (8, 64, 64, 3)
+    assert len(out.sharding.device_set) == 8
+    assert np.all(np.isfinite(np.asarray(out)))
