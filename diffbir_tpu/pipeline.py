@@ -283,9 +283,24 @@ class Pipeline:
         cleaner_tile_size: int = 512,
         cleaner_tile_stride: int = 256,
         seed: int = 231,
+        size_bucket: int = 0,
         **sampler_kwargs,
     ) -> np.ndarray:
-        """lq: uint8 [B,H,W,3] -> restored uint8 [B,*output_size,3]."""
+        """lq: uint8 [B,H,W,3] -> restored uint8 [B,*output_size,3].
+
+        ``size_bucket`` > 0 pads inputs up to multiples of that many pixels
+        (reflect) before the cleaner, bounding the number of distinct compiled
+        programs when serving arbitrary resolutions (static-shape bucketing,
+        SURVEY.md §7 hard part 6); output is still cropped to the exact size.
+        """
+        lq = np.asarray(lq)
+        orig_hw = lq.shape[1:3]
+        if size_bucket:
+            _, h, w, _ = lq.shape
+            ph = (size_bucket - h % size_bucket) % size_bucket
+            pw = (size_bucket - w % size_bucket) % size_bucket
+            if ph or pw:
+                lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         lq_t = jnp.clip(jnp.asarray(lq, jnp.float32) / 255.0, 0.0, 1.0)
         self.set_output_size(lq_t.shape[1:3])
         cond_img = self.apply_cleaner(
@@ -302,6 +317,10 @@ class Pipeline:
         sample = wavelet_reconstruction((sample + 1) / 2, cond_img)
         sample = bicubic_resize(sample, self.output_size)
         out = np.asarray(jnp.clip(sample * 255.0, 0, 255).astype(jnp.uint8))
+        if size_bucket and orig_hw != tuple(lq.shape[1:3]):
+            oh = round(orig_hw[0] * self.output_size[0] / lq.shape[1])
+            ow = round(orig_hw[1] * self.output_size[1] / lq.shape[2])
+            out = out[:, :oh, :ow]
         return out
 
 

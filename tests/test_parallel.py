@@ -128,3 +128,35 @@ def test_batch_parallel_inference():
     assert out.shape == (8, 64, 64, 3)
     assert len(out.sharding.device_set) == 8
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_tensor_parallel_unet_matches_replicated():
+    """2x4 (data x tensor) mesh: TP-sharded UNet forward == replicated."""
+    from diffbir_tpu.models.unet import UNetModel
+    from diffbir_tpu.parallel.tp import tp_shard_params
+
+    unet = UNetModel(
+        model_channels=32, num_head_channels=16, channel_mult=(1, 2),
+        attention_resolutions=(2, 1), context_dim=64,
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 4)), jnp.float32)
+    t = jnp.array([10.0, 600.0])
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal((2, 7, 64)), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, t, ctx)
+    # make the zero-init convs non-trivial
+    params = jax.tree_util.tree_map(lambda a: a + 0.01, params)
+
+    ref = jax.jit(unet.apply)(params, x, t, ctx)
+
+    mesh = make_mesh(n_data=2, n_tensor=4)
+    params_tp = tp_shard_params(mesh, params)
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data")))
+    t_s = jax.device_put(t, NamedSharding(mesh, P("data")))
+    ctx_s = jax.device_put(ctx, NamedSharding(mesh, P("data")))
+    out = jax.jit(unet.apply)(params_tp, x_s, t_s, ctx_s)
+    # some params actually got sharded over the tensor axis
+    shardings = {
+        str(l.sharding.spec) for l in jax.tree_util.tree_leaves(params_tp)
+    }
+    assert any("tensor" in s for s in shardings)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
