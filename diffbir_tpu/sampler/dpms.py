@@ -235,8 +235,11 @@ class DPMSolverSampler(Sampler):
                 else:
                     x = np.exp(ns.log_alpha(t) - ns.log_alpha(s)) * x - sigma(t) * np.expm1(h) * model_s
                 continue
-            r1 = 0.5 if o == 2 else 1.0 / 3.0
-            s1 = ns.inverse_lambda(ls + r1 * h)
+            # r1/r2 come from TIME-uniform inner points (sample(): timesteps_inner)
+            inner = np.linspace(s, t, o + 1)
+            lam_inner = np.array([ns.lam(ti) for ti in inner])
+            r1 = float((lam_inner[1] - lam_inner[0]) / h)
+            s1 = float(inner[1])
             if data_pred:
                 x_s1 = (sigma(s1) / sigma(s)) * x - alpha(s1) * np.expm1(-r1 * h) * model_s
             else:
@@ -259,8 +262,8 @@ class DPMSolverSampler(Sampler):
                     )
                 continue
             # order 3
-            r2 = 2.0 / 3.0
-            s2 = ns.inverse_lambda(ls + r2 * h)
+            r2 = float((lam_inner[2] - lam_inner[0]) / h)
+            s2 = float(inner[2])
             if data_pred:
                 phi_12 = np.expm1(-r2 * h)
                 phi_22 = np.expm1(-r2 * h) / (r2 * h) + 1.0

@@ -18,7 +18,15 @@ def load_reference_model_pkg():
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
 
+    import typing
+
+    import torch
     import torch.nn as nn
+
+    # the reference annotates `x_size: torch.Tuple[int]` (edm_sampler.py:145);
+    # modern torch has no Tuple alias — provide one for import-time eval
+    if not hasattr(torch, "Tuple"):
+        torch.Tuple = typing.Tuple
 
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
@@ -48,6 +56,16 @@ def load_reference_model_pkg():
         sys.modules["timm"] = timm
         sys.modules["timm.models"] = models
         sys.modules["timm.models.layers"] = layers
+
+    if "torchsde" not in sys.modules:
+        torchsde = types.ModuleType("torchsde")
+
+        class _BrownianTree:
+            def __init__(self, *a, **k):
+                raise RuntimeError("torchsde stub: SDE solvers unavailable")
+
+        torchsde.BrownianTree = _BrownianTree
+        sys.modules["torchsde"] = torchsde
 
     if "ftfy" not in sys.modules:
         ftfy = types.ModuleType("ftfy")

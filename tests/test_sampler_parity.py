@@ -1,0 +1,244 @@
+"""Exact-trajectory parity of deterministic samplers vs the torch reference.
+
+A shared analytic mock model (eps = 0.05*x + 0.1*c_img) drives both the
+reference sampler implementations and ours from the same x_T; deterministic
+solvers (ddim eta=0, edm euler s_churn=0, dpm++_2m, lms, dpm++ multistep)
+must produce matching trajectories to fp32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.schedule import make_beta_schedule
+from tests.ref_loader import load_reference_model_pkg, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference not mounted"
+)
+
+T = 1000
+SHAPE = (1, 8, 8, 4)  # ours NHWC; reference NCHW (1, 4, 8, 8)
+
+
+@pytest.fixture(scope="module")
+def betas():
+    return make_beta_schedule("linear", T, 0.00085, 0.0120)
+
+
+@pytest.fixture(scope="module")
+def ref_samplers():
+    load_reference_model_pkg()
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from diffbir.sampler import DDIMSampler as RefDDIM
+    from diffbir.sampler import DPMSolverSampler as RefDPMS
+    from diffbir.sampler import EDMSampler as RefEDM
+
+    return RefDDIM, RefDPMS, RefEDM
+
+
+class TorchMock:
+    """Reference-side model: eps = 0.05*x + 0.1*c_img."""
+
+    def __call__(self, x, t, cond):
+        return 0.05 * x + 0.1 * cond["c_img"]
+
+    # EDMSampler calls model(x, t, cond) directly; SpacedSampler too.
+    forward = __call__
+
+
+def jax_model_fn(x, t, cond):
+    return 0.05 * x + 0.1 * cond["c_img"]
+
+
+def _conds():
+    rng = np.random.default_rng(0)
+    c_img = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    x_T = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    import torch
+
+    t_cond = {"c_txt": torch.zeros(1, 77, 64), "c_img": torch.from_numpy(c_img)}
+    t_uncond = {"c_txt": torch.zeros(1, 77, 64), "c_img": torch.from_numpy(c_img)}
+    j_cond = {
+        "c_txt": jnp.zeros((1, 77, 64)),
+        "c_img": jnp.asarray(c_img.transpose(0, 2, 3, 1)),
+    }
+    return x_T, t_cond, t_uncond, j_cond
+
+
+def test_ddim_parity(betas, ref_samplers):
+    import torch
+
+    RefDDIM, _, _ = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    ref = RefDDIM(betas, "eps", rescale_cfg=False, eta=0)
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=10, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler import DDIMSampler
+
+    ours = DDIMSampler(betas, "eps", rescale_cfg=False, eta=0).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 10, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("solver", ["edm_euler", "edm_dpm++_2m", "edm_lms", "edm_heun", "edm_dpm_2"])
+def test_edm_deterministic_parity(betas, ref_samplers, solver):
+    import torch
+
+    _, _, RefEDM = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    ref = RefEDM(
+        betas, "eps", rescale_cfg=False, solver_type=solver,
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=1, order=4,
+    )
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=8, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    ours = EDMSampler(
+        betas, "eps", rescale_cfg=False, solver_type=solver,
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=1, order=4,
+    ).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 8, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_dpm_multistep_parity(betas, ref_samplers):
+    import torch
+
+    _, RefDPMS, _ = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    ref = RefDPMS(betas, "eps", rescale_cfg=False, model_spec="dpm++_m2")
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=8, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler.dpms import DPMSolverSampler
+
+    ours = DPMSolverSampler(betas, "eps", rescale_cfg=False, model_spec="dpm++_m2").sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 8, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
+
+
+@pytest.mark.parametrize("spec", ["dpm++_s2", "dpm++_s3", "dpm_m2", "dpm_m3"])
+def test_dpm_more_variants_parity(betas, ref_samplers, spec):
+    import torch
+
+    _, RefDPMS, _ = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    ref = RefDPMS(betas, "eps", rescale_cfg=False, model_spec=spec)
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=9, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler.dpms import DPMSolverSampler
+
+    ours = DPMSolverSampler(betas, "eps", rescale_cfg=False, model_spec=spec).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 9, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=3e-4, rtol=3e-4
+    )
+
+
+@pytest.mark.parametrize("solver", ["edm_euler_a", "edm_dpm_2_a", "edm_dpm++_2s_a"])
+def test_edm_ancestral_eta0_parity(betas, ref_samplers, solver):
+    """eta=0 makes the ancestral solvers deterministic (sigma_up == 0)."""
+    import torch
+
+    _, _, RefEDM = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    ref = RefEDM(
+        betas, "eps", rescale_cfg=False, solver_type=solver,
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=0, order=4,
+    )
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=8, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    ours = EDMSampler(
+        betas, "eps", rescale_cfg=False, solver_type=solver,
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=0, order=4,
+    ).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 8, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_v_param_cfg_parity(betas, ref_samplers):
+    """v-parameterization + CFG + rescale_cfg through DDIM."""
+    import torch
+
+    RefDDIM, _, _ = ref_samplers
+    x_T, t_cond, t_uncond, j_cond = _conds()
+
+    class VMock:
+        def __call__(self, x, t, cond):
+            return 0.05 * x - 0.1 * cond["c_img"]
+
+        forward = __call__
+
+    def v_jax(x, t, cond):
+        return 0.05 * x - 0.1 * cond["c_img"]
+
+    # distinct uncond for a real CFG path
+    t_uncond2 = {"c_txt": t_uncond["c_txt"], "c_img": t_uncond["c_img"] * 0.5}
+    j_uncond2 = {"c_txt": j_cond["c_txt"], "c_img": j_cond["c_img"] * 0.5}
+    ref = RefDDIM(betas, "v", rescale_cfg=True, eta=0)
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=VMock(), device="cpu", steps=10, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond2, cfg_scale=3.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    from diffbir_tpu.sampler import DDIMSampler
+
+    ours = DDIMSampler(betas, "v", rescale_cfg=True, eta=0).sample(
+        v_jax, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, j_uncond2,
+        3.0, 10, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
