@@ -242,3 +242,42 @@ def test_v_param_cfg_parity(betas, ref_samplers):
     np.testing.assert_allclose(
         np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
     )
+
+
+def test_spaced_sampler_mean_trajectory_parity(betas, ref_samplers, monkeypatch):
+    """Zero the ancestral noise on both sides: the posterior-mean trajectory
+    of the spaced (DDPM) sampler must match exactly."""
+    import sys
+
+    import torch
+
+    from diffbir.sampler import SpacedSampler as RefSpaced
+
+    x_T, t_cond, t_uncond, j_cond = _conds()
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    ref = RefSpaced(betas, "eps", rescale_cfg=False)
+    with torch.no_grad():
+        theirs = ref.sample(
+            model=TorchMock(), device="cpu", steps=10, x_size=(1, 4, 8, 8),
+            cond=t_cond, uncond=t_uncond, cfg_scale=1.0,
+            x_T=torch.from_numpy(x_T), progress=False,
+        ).numpy()
+
+    import diffbir_tpu.sampler.spaced as spaced_mod
+    from diffbir_tpu.sampler import SpacedSampler
+
+    real_normal = jax.random.normal
+    monkeypatch.setattr(
+        spaced_mod.jax.random, "normal",
+        lambda key, shape, dtype=None: jnp.zeros(shape, dtype or jnp.float32),
+    )
+    try:
+        ours = SpacedSampler(betas, "eps", rescale_cfg=False).sample(
+            jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+            1.0, 10, jax.random.PRNGKey(0),
+        )
+    finally:
+        monkeypatch.setattr(spaced_mod.jax.random, "normal", real_normal)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
