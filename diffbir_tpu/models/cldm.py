@@ -80,7 +80,9 @@ class ControlLDM:
         }
 
     def eval_shapes(self, latent_hw: Tuple[int, int] = (8, 8)) -> Params:
-        return jax.eval_shape(self.init_params, jax.random.PRNGKey(0), latent_hw)
+        return jax.eval_shape(
+            lambda k: self.init_params(k, latent_hw), jax.random.PRNGKey(0)
+        )
 
     # ------------------------------------------------------------------ #
     # forward paths (pure)

@@ -1,0 +1,176 @@
+"""END-TO-END pipeline parity vs the torch reference.
+
+Tiny (but architecturally complete) SwinIR + ControlLDM with identical
+weights run the full restoration path on both stacks — cleaner, pad rules,
+condition encode, DDIM sampling (noise zeroed), latent crop, VAE decode,
+wavelet color fix, resize — and the uint8 outputs must match.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.schedule import Schedule
+from diffbir_tpu.weights.convert import fill_flax_params
+from tests.ref_loader import load_reference_model_pkg, reference_available, torch_sd_to_numpy
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference not mounted"
+)
+
+UNET_TINY = dict(
+    image_size=32, in_channels=4, model_channels=32, out_channels=4,
+    num_res_blocks=1, attention_resolutions=[2, 1], channel_mult=[1, 2],
+    num_head_channels=16, use_spatial_transformer=True,
+    use_linear_in_transformer=True, transformer_depth=1, context_dim=64,
+    legacy=False,
+)
+VAE_TINY = dict(
+    double_z=True, z_channels=4, resolution=256, in_channels=3, out_ch=3,
+    ch=32, ch_mult=[1, 1, 1, 1], num_res_blocks=1, attn_resolutions=[],
+    dropout=0.0,
+)
+CLIP_TINY = dict(
+    embed_dim=32,
+    vision_cfg=dict(image_size=32, layers=1, width=16, head_width=8, patch_size=16),
+    text_cfg=dict(context_length=77, vocab_size=49408, width=64, heads=4, layers=3),
+    layer="penultimate",
+)
+
+
+def test_full_pipeline_parity(monkeypatch):
+    import torch
+
+    ref = load_reference_model_pkg()
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import os
+
+    cwd = os.getcwd()
+    os.chdir("/root/reference")  # reference pipeline loads nothing, but be safe
+    try:
+        _run(monkeypatch, ref, torch)
+    finally:
+        os.chdir(cwd)
+
+
+def _run(monkeypatch, ref, torch):
+    from diffbir.pipeline import SwinIRPipeline as RefPipe
+
+    torch.manual_seed(0)
+    cn_cfg = dict(UNET_TINY, hint_channels=4)
+    cn_cfg.pop("out_channels")
+    tm = ref.ControlLDM(
+        unet_cfg=UNET_TINY, vae_cfg=dict(ddconfig=VAE_TINY, embed_dim=4),
+        clip_cfg=CLIP_TINY, controlnet_cfg=cn_cfg, latent_scale_factor=0.18215,
+    ).eval()
+    with torch.no_grad():  # make zero-init layers non-trivial
+        for _, p in tm.named_parameters():
+            if p.abs().sum() == 0:
+                p.normal_(0, 0.02)
+    t_swin = ref.SwinIR(
+        img_size=8, patch_size=1, in_chans=3, embed_dim=24, depths=[2],
+        num_heads=[4], window_size=4, mlp_ratio=2, sf=8, img_range=1.0,
+        upsampler="nearest+conv", resi_connection="1conv", unshuffle=True,
+        unshuffle_scale=8, drop_path_rate=0.0,
+    ).eval()
+    t_diff = ref.Diffusion(timesteps=1000, beta_schedule="linear",
+                           linear_start=0.00085, linear_end=0.0120)
+
+    # ---- convert weights to the jax stack ----
+    from diffbir_tpu.models.clip import CLIPTextEncoder
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.models.swinir import SwinIR
+    from diffbir_tpu.models.tokenizer import get_tokenizer
+    from diffbir_tpu.models.unet import ControlNet, UNetModel
+    from diffbir_tpu.models.vae import AutoencoderKL
+    from diffbir_tpu.pipeline import SwinIRPipeline
+
+    jcldm = ControlLDM(
+        unet=UNetModel(model_channels=32, num_head_channels=16, channel_mult=(1, 2),
+                       attention_resolutions=(2, 1), context_dim=64, num_res_blocks=1),
+        vae=AutoencoderKL(ch=32, ch_mult=(1, 1, 1, 1), num_res_blocks=1),
+        clip=CLIPTextEncoder(width=64, heads=4, layers=3),
+        controlnet=ControlNet(model_channels=32, num_head_channels=16, channel_mult=(1, 2),
+                              attention_resolutions=(2, 1), context_dim=64, num_res_blocks=1),
+    )
+    shapes = jcldm.eval_shapes((8, 8))
+    sd = {}
+    for name, prefix in [("unet", "model.diffusion_model."),
+                         ("vae", "first_stage_model."),
+                         ("clip", "cond_stage_model.")]:
+        mod = getattr(tm, name)
+        for k, v in torch_sd_to_numpy(mod).items():
+            sd[prefix + k] = v
+    params = jcldm.load_pretrained_sd(shapes, sd)
+    params = jcldm.load_controlnet_from_ckpt(params, torch_sd_to_numpy(tm.controlnet))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    jswin = SwinIR(embed_dim=24, depths=(2,), num_heads=(4,), window_size=4,
+                   mlp_ratio=2.0, sf=8, unshuffle=True, unshuffle_scale=8)
+    sshapes = jax.eval_shape(
+        jswin.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    sparams, _, _ = fill_flax_params(sshapes, torch_sd_to_numpy(t_swin), strict=True)
+    sparams = jax.tree_util.tree_map(jnp.asarray, sparams)
+
+    # the reference's VRAMPeakMonitor calls torch.cuda unconditionally
+    monkeypatch.setattr(torch.cuda, "max_memory_allocated", lambda *a, **k: 0)
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+
+    # ---- zero all sampling noise on both sides ----
+    monkeypatch.setattr(torch, "randn", lambda *s, **k: torch.zeros(*s))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    real_normal = jax.random.normal
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype),
+    )
+    try:
+        g = np.random.default_rng(1)
+        lq = (g.random((1, 512, 512, 3)) * 255).astype(np.uint8)
+
+        ref_pipe = RefPipe(t_swin, tm, t_diff, None, "cpu")
+        kwargs = dict(
+            steps=4, strength=1.0,
+            cleaner_tiled=False, cleaner_tile_size=512, cleaner_tile_stride=256,
+            vae_encoder_tiled=False, vae_encoder_tile_size=256,
+            vae_decoder_tiled=False, vae_decoder_tile_size=256,
+            cldm_tiled=False, cldm_tile_size=512, cldm_tile_stride=256,
+            pos_prompt="a photo", neg_prompt="bad", cfg_scale=1.0,
+            start_point_type="noise", sampler_type="ddim", noise_aug=0,
+            rescale_cfg=False, s_churn=0, s_tmin=0, s_tmax=300, s_noise=1,
+            eta=0, order=1,
+        )
+        with torch.no_grad():
+            theirs = ref_pipe.run(lq, **kwargs)
+
+        schedule = Schedule.create(
+            timesteps=1000, beta_schedule="linear", linear_start=0.00085,
+            linear_end=0.0120, parameterization="eps",
+        )
+        jpipe = SwinIRPipeline(
+            cleaner_apply=jax.jit(lambda x: jswin.apply(sparams, x)),
+            cldm=jcldm, params=params, schedule=schedule,
+            tokenizer=get_tokenizer(),
+        )
+        ours = jpipe.run(
+            lq, steps=4, strength=1.0, pos_prompt="a photo", neg_prompt="bad",
+            cfg_scale=1.0, start_point_type="noise", sampler_type="ddim",
+            noise_aug=0, rescale_cfg=False, seed=0,
+        )
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+
+    assert ours.shape == theirs.shape == (1, 512, 512, 3)
+    diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+    # identical math modulo fp32 accumulation order; random weights push the
+    # decoder far outside [-1,1], so tiny fp differences amplify to a few
+    # uint8 steps (observed mean ~1.6/255). With trained weights (bounded
+    # activations) agreement is tighter — the per-module parity tests pin
+    # each component at <=5e-4.
+    assert np.mean(diff) < 3.0, f"mean abs diff {np.mean(diff)}"
+    assert np.percentile(diff, 99) <= 8, f"p99 diff {np.percentile(diff, 99)}"
