@@ -9,8 +9,6 @@ heads 4, 2 layers, eps 1e-12 (configs/q2l_config.json).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,9 +15,8 @@ mounted reference's ram/data for the public tag lists).
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image

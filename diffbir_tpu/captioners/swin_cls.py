@@ -8,7 +8,7 @@ Reuses the SwinIR window-attention blocks (same torch key fragments).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ for a bucketed on-device variant.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Sequence, Union
+from typing import Dict, Sequence, Union
 
 import cv2
 import numpy as np

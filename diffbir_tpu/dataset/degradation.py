@@ -14,7 +14,7 @@ Split of responsibilities (TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import cv2
 import numpy as np

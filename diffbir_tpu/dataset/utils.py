@@ -8,7 +8,6 @@ dataset/degradation.py (batched jax).
 
 from __future__ import annotations
 
-import os
 import random
 from typing import Dict, List
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import config as cfglib
 from ..models.cldm import ControlLDM
 from ..pipeline import SwinIRPipeline
-from ..weights.convert import fill_flax_params, load_torch_state_dict
+from ..weights.convert import load_torch_state_dict
 from .loop import InferenceLoop, make_schedule_for_version
 from .pretrained_models import resolve_model
 

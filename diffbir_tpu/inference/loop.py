@@ -11,7 +11,7 @@ from __future__ import annotations
 import csv
 import os
 from argparse import Namespace
-from typing import Generator, List, Optional
+from typing import Generator, List
 
 import numpy as np
 from PIL import Image
@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.cldm import ControlLDM
-from ..models.tokenizer import get_tokenizer
 from ..schedule import Schedule
 from ..utils.caption import build_captioner
 from ..utils.cond_fn import MSEGuidance, WeightedMSEGuidance

@@ -8,8 +8,6 @@ nearest+conv upsamples). Module names equal torch key fragments
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,8 +14,6 @@ stripped by the converter).
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

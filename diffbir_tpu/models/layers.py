@@ -14,7 +14,7 @@ joined with '.' IS the torch key prefix. See weights/convert.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Module names equal torch key fragments (m_down1.0.trans_block.msa...).
 from __future__ import annotations
 
 import functools
-from typing import Any, Sequence
+from typing import Sequence
 
 import numpy as np
 

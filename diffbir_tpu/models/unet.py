@@ -22,7 +22,7 @@ Module names are chosen so flax param paths mirror the torch checkpoint keys
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

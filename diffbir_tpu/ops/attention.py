@@ -16,7 +16,6 @@ matching ATTN_PRECISION=fp32 semantics (reference attention.py:15,86-95).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

@@ -20,7 +20,7 @@ before the rng is consumed, and explicit fold-in helpers are provided.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

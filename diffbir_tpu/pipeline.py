@@ -12,7 +12,6 @@ design:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np

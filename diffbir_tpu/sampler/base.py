@@ -11,7 +11,7 @@ XLA-compiled UNet+ControlNet forward.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Optional
+from typing import Callable, Mapping, Optional
 
 import numpy as np
 

@@ -22,7 +22,7 @@ TPU-first redesign:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Mapping, Optional
+from typing import Mapping, Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ No torch, no device work.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Sequence, Tuple, Union
 
 import numpy as np

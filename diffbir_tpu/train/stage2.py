@@ -13,9 +13,7 @@ surface). Metrics come back replicated (the psum-mean is inside the step).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
-
-import numpy as np
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

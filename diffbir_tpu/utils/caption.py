@@ -13,8 +13,6 @@ EmptyCaptioner is always available and is the default.
 
 from __future__ import annotations
 
-from typing import Any
-
 LLAVA_AVAILABLE = False
 RAM_AVAILABLE = False
 

@@ -17,7 +17,6 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 TRACE_MEM = bool(int(os.environ.get("DIFFBIR_TPU_TRACE_MEM", "0")))
 

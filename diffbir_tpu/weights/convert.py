@@ -19,8 +19,7 @@ the tensor layout change:
 
 from __future__ import annotations
 
-import io
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 
