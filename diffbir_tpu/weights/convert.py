@@ -130,3 +130,35 @@ SD_MODULE_MAP = {
     # FrozenOpenCLIPEmbedder wraps open_clip.CLIP as ``self.model``
     "clip": "cond_stage_model.model.",
 }
+
+
+def flax_to_torch_state_dict(params: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse conversion: flax param tree -> torch-layout state dict.
+
+    Lets checkpoints trained here (e.g. the ControlNet subtree) be exported
+    for users of the torch reference. Layout rules are the exact inverse of
+    ``fill_flax_params``.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: Dict[str, np.ndarray] = {}
+    for path, leaf in flat:
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        tkey, transpose = _flax_leaf_to_torch_key(keys)
+        v = np.asarray(leaf, dtype=np.float32)
+        if transpose:
+            if v.ndim == 4:  # HWIO -> OIHW
+                v = v.transpose(3, 2, 0, 1)
+            elif v.ndim == 2:
+                v = v.T
+        out[prefix + tkey] = v
+    return out
+
+
+def save_torch_checkpoint(sd: Mapping[str, np.ndarray], path: str) -> None:
+    import torch
+
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)

@@ -87,3 +87,18 @@ def test_load_pretrained_sd_key_mapping(tiny):
         b = jax.tree_util.tree_leaves(loaded[mod])
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flax_torch_roundtrip(tiny):
+    """flax -> torch sd -> flax must be the identity (layout inverses)."""
+    from diffbir_tpu.weights.convert import fill_flax_params, flax_to_torch_state_dict
+
+    cldm, params = tiny
+    sd = flax_to_torch_state_dict(params["controlnet"])
+    refilled, missing, _ = fill_flax_params(params["controlnet"], sd, strict=True)
+    assert not missing
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params["controlnet"]),
+        jax.tree_util.tree_leaves(refilled),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
