@@ -172,6 +172,16 @@ def main():
                 os.path.abspath(os.path.join(tcfg["exp_dir"], f"controlnet_{step}")),
                 {"controlnet": jax.device_get(state.params["controlnet"])},
             )
+            if tcfg.get("export_torch", False):
+                # torch-layout .pth consumable by the reference stack
+                from diffbir_tpu.weights.convert import (
+                    flax_to_torch_state_dict, save_torch_checkpoint,
+                )
+
+                save_torch_checkpoint(
+                    flax_to_torch_state_dict(jax.device_get(state.params["controlnet"])),
+                    os.path.join(tcfg["exp_dir"], f"controlnet_{step}.pth"),
+                )
             print(f"saved checkpoints @ {step}")
     ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
     ckpt_mgr.wait_until_finished()
