@@ -154,8 +154,100 @@ class EDMSampler(Sampler):
             return float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
 
         x = x_T * np.sqrt(1.0 + sigmas[0] ** 2)
+        if self.solver_type == "dpm++_3m_sde":
+            return self._sample_3m_sde_scan(
+                model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
+                v_param, use_cfg,
+            )
         solver = getattr(self, "_solve_" + self.solver_type.replace("+", "p"))
         return solver(denoiser, x, sigmas, cfg_at, rng)
+
+    # ------------------------------------------------------------------ #
+    def _sample_3m_sde_scan(
+        self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
+        v_param, use_cfg,
+    ):
+        """dpm++_3m_sde (the default CLI solver) as ONE lax.scan.
+
+        All per-step scalars — the denoiser's c_skip/c_out/c_in and model-t,
+        the x/denoised coefficients exp(-h_eta) / -expm1(-h_eta), the
+        multistep correction coefficients (folded into two linear terms in
+        (denoised - d1) and (d1 - d2), zeroed for the warmup steps), and the
+        SDE noise scale — are host-precomputed float64 tables; the carry
+        holds the two previous denoised tensors.
+        """
+        n = len(sigmas) - 1
+        eta, s_noise = self.eta, self.s_noise
+        rows = {k: np.zeros(n) for k in (
+            "c_skip", "c_out", "c_in", "t_model", "cfg",
+            "a", "b", "coefA", "coefB", "noise",
+        )}
+        h_1 = h_2 = None
+        for i in range(n):
+            sig = sigmas[i]
+            if v_param:
+                rows["c_skip"][i] = 1.0 / (sig**2 + 1.0)
+                rows["c_out"][i] = -sig / (sig**2 + 1.0) ** 0.5
+            else:
+                rows["c_skip"][i] = 1.0
+                rows["c_out"][i] = -sig
+            rows["c_in"][i] = 1.0 / (sig**2 + 1.0) ** 0.5
+            t_model = self._model_t(sig, sigmas, ts)
+            rows["t_model"][i] = t_model
+            rows["cfg"][i] = float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
+            if sigmas[i + 1] == 0:
+                rows["a"][i], rows["b"][i] = 0.0, 1.0  # x <- denoised
+                continue
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            h_eta = h * (eta + 1)
+            rows["a"][i] = np.exp(-h_eta)
+            rows["b"][i] = -np.expm1(-h_eta)
+            phi_2 = np.expm1(-h_eta) / h_eta + 1.0
+            phi_3 = phi_2 / h_eta - 0.5
+            if h_2 is not None:
+                r0, r1 = h_1 / h, h_2 / h
+                k = r0 / (r0 + r1)
+                rows["coefA"][i] = (phi_2 * (1 + k) - phi_3 / (r0 + r1)) / r0
+                rows["coefB"][i] = (-phi_2 * k + phi_3 / (r0 + r1)) / r1
+            elif h_1 is not None:
+                rows["coefA"][i] = phi_2 / (h_1 / h)
+            if eta:
+                rows["noise"][i] = (
+                    sigmas[i + 1] * np.sqrt(-np.expm1(-2 * h * eta)) * s_noise
+                )
+            h_1, h_2 = h, h_1
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+
+        def body(carry, row):
+            x, d1, d2, key = carry
+            key, k_noise = jax.random.split(key)
+            t_vec = jnp.full((bs,), row["t_model"], jnp.float32)
+
+            def call(xx, tt, cc):
+                return model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc) \
+                    * row["c_out"] + xx * row["c_skip"]
+
+            if use_cfg:
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t_vec, t_vec], axis=0)
+                c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
+                out = call(x2, t2, c2)
+                o_c, o_u = jnp.split(out, 2, axis=0)
+                denoised = o_u + row["cfg"] * (o_c - o_u)
+            else:
+                denoised = call(x, t_vec, cond)
+            denoised = denoised.astype(x.dtype)
+
+            x_new = row["a"] * x + row["b"] * denoised
+            x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            x_new = x_new + row["noise"] * noise
+            return (x_new, denoised, d1, key), None
+
+        init = (x, jnp.zeros_like(x), jnp.zeros_like(x), rng)
+        (x, _, _, _), _ = jax.lax.scan(body, init, tables)
+        return x
 
     # ------------------------------------------------------------------ #
     # Solvers. ``denoiser`` closes over static sigma scalars, so each is a
@@ -362,6 +454,14 @@ class EDMSampler(Sampler):
         return x
 
     def _solve_dpmpp_3m_sde(self, den, x, sigmas, cfg_at, rng):
+        """Default CLI solver: compiled as ONE lax.scan over host-precomputed
+        coefficient tables (all h/r/phi scalars are schedule-static; the
+        carries are the two previous denoised tensors). Falls back to the
+        unrolled form only for the reference-shaped final step handling,
+        which is itself in the tables."""
+        return self._solve_dpmpp_3m_sde_scan(den, x, sigmas, cfg_at, rng)
+
+    def _solve_dpmpp_3m_sde_unrolled(self, den, x, sigmas, cfg_at, rng):
         n = len(sigmas) - 1
         d1_prev, d2_prev = None, None  # denoised_1, denoised_2
         h_1, h_2 = None, None

@@ -112,3 +112,42 @@ def test_dpm_solver_singlestep(setup):
     for spec in ["dpm++_s2", "dpm++_s3", "dpm_s2"]:
         s = DPMSolverSampler(schedule.betas, "eps", rescale_cfg=False, model_spec=spec)
         _run(s, model_fn, cond, uncond, steps=6)
+
+
+def test_3m_sde_scan_matches_unrolled(setup):
+    """The scan-compiled default solver must equal the unrolled form (eta=0)."""
+    schedule, model_fn, cond, uncond = setup
+    s = EDMSampler(
+        schedule.betas, "eps", rescale_cfg=False, solver_type="edm_dpm++_3m_sde",
+        eta=0.0,
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(11), X_SHAPE)
+    out_scan = s.sample(model_fn, x_T, cond, uncond, 2.0, 6, jax.random.PRNGKey(12))
+
+    # drive the unrolled implementation through the same denoiser plumbing
+    sigmas, ts = s.make_schedule(6)
+    bs = X_SHAPE[0]
+
+    def denoiser(x, sigma, rescaled_cfg):
+        sigma = float(sigma)
+        c_in = 1.0 / (sigma**2 + 1.0) ** 0.5
+        t_model = s._model_t(sigma, sigmas, ts)
+        t_vec = jnp.full((bs,), t_model, jnp.float32)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t_vec, t_vec], axis=0)
+        c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
+        out = model_fn((x2 * c_in).astype(x2.dtype), t2, c2) * (-sigma) + x2
+        o_c, o_u = jnp.split(out, 2, axis=0)
+        return o_u + rescaled_cfg * (o_c - o_u)
+
+    def cfg_at(sigma):
+        t_model = s._model_t(float(sigma), sigmas, ts)
+        return float(s.cfg_scales(2.0, np.array([t_model]))[0])
+
+    x0 = x_T * np.sqrt(1.0 + sigmas[0] ** 2)
+    out_unrolled = s._solve_dpmpp_3m_sde_unrolled(
+        denoiser, x0, sigmas, cfg_at, jax.random.PRNGKey(12)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_unrolled), atol=1e-3, rtol=1e-3
+    )
