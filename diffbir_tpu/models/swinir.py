@@ -121,10 +121,23 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     mlp_ratio: float = 2.0
+    drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _drop_path(self, res: jax.Array, deterministic: bool) -> jax.Array:
+        """Stochastic depth (per-sample residual drop, timm DropPath)."""
+        if deterministic or self.drop_path == 0.0:
+            return res
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(
+            self.make_rng("drop_path"), keep, (res.shape[0],) + (1,) * (res.ndim - 1)
+        )
+        return res * mask.astype(res.dtype) / keep
+
     @nn.compact
-    def __call__(self, x: jax.Array, x_size: Tuple[int, int]) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, x_size: Tuple[int, int], deterministic: bool = True
+    ) -> jax.Array:
         h, w = x_size
         b, l, c = x.shape
         window, shift = self.window, self.shift
@@ -143,14 +156,14 @@ class SwinBlock(nn.Module):
         x = window_reverse(win.reshape(-1, window, window, c), window, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, l, c)
+        x = shortcut + self._drop_path(x.reshape(b, l, c), deterministic)
 
         y = LayerNormFp32(name="norm2")(x)
         hid = int(self.dim * self.mlp_ratio)
         y = dense(hid, dtype=self.dtype, name="mlp.fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = dense(self.dim, dtype=self.dtype, name="mlp.fc2")(y)
-        return x + y
+        return x + self._drop_path(y, deterministic)
 
 
 class RSTB(nn.Module):
@@ -162,19 +175,24 @@ class RSTB(nn.Module):
     window: int
     mlp_ratio: float = 2.0
     resi_connection: str = "1conv"
+    drop_path: Tuple[float, ...] = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, x_size: Tuple[int, int]) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, x_size: Tuple[int, int], deterministic: bool = True
+    ) -> jax.Array:
         h, w = x_size
         res = x
         for j in range(self.depth):
             x = SwinBlock(
                 self.dim, self.num_heads, self.window,
                 shift=0 if j % 2 == 0 else self.window // 2,
-                mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                mlp_ratio=self.mlp_ratio,
+                drop_path=self.drop_path[j] if self.drop_path else 0.0,
+                dtype=self.dtype,
                 name=f"residual_group.blocks.{j}",
-            )(x, x_size)
+            )(x, x_size, deterministic)
         b, l, c = x.shape
         img = x.reshape(b, h, w, c)
         if self.resi_connection == "1conv":
@@ -210,10 +228,11 @@ class SwinIR(nn.Module):
     resi_connection: str = "1conv"
     unshuffle: bool = True
     unshuffle_scale: int = 8
+    drop_path_rate: float = 0.0  # stochastic depth during training (ref default 0.1)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         """x: [0,1] NHWC. Output crop follows the reference (swinir.py:856-894)."""
         b, h_in, w_in, _ = x.shape
         # pad so the post-unshuffle feature map tiles into windows
@@ -237,12 +256,16 @@ class SwinIR(nn.Module):
         bb, hh, ww, cc = feat.shape
         seq = feat.reshape(bb, hh * ww, cc)
         seq = LayerNormFp32(name="patch_embed.norm")(seq)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+        off = 0
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             seq = RSTB(
                 self.embed_dim, depth, heads, self.window_size,
                 mlp_ratio=self.mlp_ratio, resi_connection=self.resi_connection,
+                drop_path=tuple(dpr[off: off + depth]),
                 dtype=self.dtype, name=f"layers.{i}",
-            )(seq, (hh, ww))
+            )(seq, (hh, ww), deterministic)
+            off += depth
         seq = LayerNormFp32(name="norm")(seq)
         deep = seq.reshape(bb, hh, ww, cc)
         feat = conv(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(deep) + feat

@@ -77,3 +77,20 @@ def test_swinir_parity_shifted_windows():
     with torch.no_grad():
         theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=1e-3)
+
+
+def test_swinir_drop_path_training_mode():
+    from diffbir_tpu.models.swinir import SwinIR
+
+    jm = SwinIR(
+        in_chans=3, embed_dim=16, depths=(2,), num_heads=(2,), window_size=4,
+        mlp_ratio=2.0, sf=8, unshuffle=True, unshuffle_scale=8, drop_path_rate=0.5,
+    )
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32)
+    params = jax.jit(jm.init)(jax.random.PRNGKey(0), x)
+    det = jm.apply(params, x)  # deterministic default: no rng needed
+    tr1 = jm.apply(params, x, deterministic=False, rngs={"drop_path": jax.random.PRNGKey(1)})
+    tr2 = jm.apply(params, x, deterministic=False, rngs={"drop_path": jax.random.PRNGKey(2)})
+    assert np.any(np.asarray(tr1) != np.asarray(tr2))  # stochastic
+    assert np.all(np.isfinite(np.asarray(tr1)))
+    assert det.shape == tr1.shape
