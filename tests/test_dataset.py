@@ -120,3 +120,26 @@ def test_realesrgan_dataset_and_transform(tmp_path):
     # queue fills then swaps without crashing
     for _ in range(3):
         out = bt(next(ds.as_iterator(2, seed=2)))
+
+
+def test_prefetch_iterator():
+    from diffbir_tpu.dataset.prefetch import PrefetchIterator
+
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((2, 2), i)}
+
+    it = PrefetchIterator(gen(), transform=lambda b: {"x": b["x"] * 2})
+    out = [batch["x"][0, 0] for batch in it]
+    assert out == [0, 2, 4, 6, 8]
+
+    # errors surface on the consumer side
+    def bad():
+        yield {"x": 1}
+        raise ValueError("boom")
+
+    it = PrefetchIterator(bad())
+    next(it)
+    with pytest.raises(ValueError):
+        while True:
+            next(it)

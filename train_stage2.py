@@ -104,10 +104,12 @@ def main():
     dat = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, rep)
 
-    # ---- data ----
+    # ---- data (degradation synthesis prefetched on a worker thread) ----
+    from diffbir_tpu.dataset.prefetch import PrefetchIterator
+
     ds = cfglib.instantiate(cfg["dataset"]["train"])
     bt = cfglib.instantiate(cfg["batch_transform"])
-    it = ds.as_iterator(bs, seed=tcfg.get("seed", 231))
+    it = PrefetchIterator(ds.as_iterator(bs, seed=tcfg.get("seed", 231)), transform=bt)
 
     try:
         from tensorboardX import SummaryWriter
@@ -138,8 +140,7 @@ def main():
     step = int(state.step)
     t0 = time.time()
     while step < tcfg["train_steps"]:
-        raw = next(it)
-        batch = bt(raw)
+        batch = next(it)
         tokens = tokenizer(batch["txt"] if "txt" in batch else batch["prompt"])
         dev_batch = jax.device_put(
             {"gt": batch["gt"], "lq": batch["lq"], "tokens": tokens}, dat
