@@ -160,3 +160,25 @@ def test_tensor_parallel_unet_matches_replicated():
     }
     assert any("tensor" in s for s in shardings)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_tile_parallel_model_fn():
+    """Tile batch sharded over the data axis; blended output matches unsharded."""
+    from diffbir_tpu.parallel.inference import tile_parallel_model_fn
+    from diffbir_tpu.tiling import make_tiled_fn
+
+    mesh = make_mesh(n_data=8)
+
+    def model(x_tiles, tile_coords=()):
+        return x_tiles * 2.0 + 1.0
+
+    model.tile_kwargs = ("tile_coords",)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 4)), jnp.float32)
+    ref = make_tiled_fn(model, size=8, stride=8, tiles_per_batch=16)(x)
+
+    with mesh:
+        sharded_model = tile_parallel_model_fn(model, mesh)
+        out = jax.jit(
+            lambda x: make_tiled_fn(sharded_model, size=8, stride=8, tiles_per_batch=16)(x)
+        )(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
