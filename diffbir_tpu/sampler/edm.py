@@ -154,13 +154,130 @@ class EDMSampler(Sampler):
             return float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
 
         x = x_T * np.sqrt(1.0 + sigmas[0] ** 2)
-        if self.solver_type == "dpm++_3m_sde":
-            return self._sample_3m_sde_scan(
+        # the most-used solvers compile to a single lax.scan (fast compile at
+        # any step count); the rest trace an unrolled fixed program
+        scan_impls = {
+            "dpm++_3m_sde": self._sample_3m_sde_scan,
+            "dpm++_2m_sde": self._sample_2m_sde_scan,
+            "euler_a": self._sample_euler_a_scan,
+        }
+        if self.solver_type in scan_impls:
+            return scan_impls[self.solver_type](
                 model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
                 v_param, use_cfg,
             )
         solver = getattr(self, "_solve_" + self.solver_type.replace("+", "p"))
         return solver(denoiser, x, sigmas, cfg_at, rng)
+
+    # ------------------------------------------------------------------ #
+    def _denoiser_rows(self, sigmas, ts, cfg_scale, v_param, n):
+        rows = {k: np.zeros(n) for k in ("c_skip", "c_out", "c_in", "t_model", "cfg")}
+        for i in range(n):
+            sig = sigmas[i]
+            if v_param:
+                rows["c_skip"][i] = 1.0 / (sig**2 + 1.0)
+                rows["c_out"][i] = -sig / (sig**2 + 1.0) ** 0.5
+            else:
+                rows["c_skip"][i] = 1.0
+                rows["c_out"][i] = -sig
+            rows["c_in"][i] = 1.0 / (sig**2 + 1.0) ** 0.5
+            t_model = self._model_t(sig, sigmas, ts)
+            rows["t_model"][i] = t_model
+            rows["cfg"][i] = float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
+        return rows
+
+    @staticmethod
+    def _scan_denoiser(model_fn, cond, uncond, use_cfg, bs):
+        """Returns denoise(x, row) with the per-step scalars traced from the
+        scan tables (batched CFG in one model call)."""
+
+        def denoise(x, row):
+            t_vec = jnp.full((bs,), row["t_model"], jnp.float32)
+
+            def call(xx, tt, cc):
+                return model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc) \
+                    * row["c_out"] + xx * row["c_skip"]
+
+            if use_cfg:
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t_vec, t_vec], axis=0)
+                c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
+                out = call(x2, t2, c2)
+                o_c, o_u = jnp.split(out, 2, axis=0)
+                return (o_u + row["cfg"] * (o_c - o_u)).astype(x.dtype)
+            return call(x, t_vec, cond).astype(x.dtype)
+
+        return denoise
+
+    def _sample_2m_sde_scan(
+        self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
+        v_param, use_cfg,
+    ):
+        """dpm++_2m_sde (midpoint) as one lax.scan; carry = old denoised."""
+        n = len(sigmas) - 1
+        eta, s_noise = self.eta, self.s_noise
+        rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
+        for k in ("a", "b", "coefA", "noise"):
+            rows[k] = np.zeros(n)
+        h_last = None
+        for i in range(n):
+            if sigmas[i + 1] == 0:
+                rows["a"][i], rows["b"][i] = 0.0, 1.0
+                continue
+            t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
+            h = s - t
+            eta_h = eta * h
+            rows["a"][i] = (sigmas[i + 1] / sigmas[i]) * np.exp(-eta_h)
+            rows["b"][i] = -np.expm1(-h - eta_h)
+            if h_last is not None:
+                rows["coefA"][i] = 0.5 * (-np.expm1(-h - eta_h)) / (h_last / h)
+            if eta:
+                rows["noise"][i] = sigmas[i + 1] * np.sqrt(-np.expm1(-2 * eta_h)) * s_noise
+            h_last = h
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        denoise = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+
+        def body(carry, row):
+            x, old, key = carry
+            key, k_noise = jax.random.split(key)
+            denoised = denoise(x, row)
+            x_new = row["a"] * x + row["b"] * denoised
+            x_new = x_new + row["coefA"] * (denoised - old)
+            x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
+            return (x_new, denoised, key), None
+
+        (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x), rng), tables)
+        return x
+
+    def _sample_euler_a_scan(
+        self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
+        v_param, use_cfg,
+    ):
+        """Euler-ancestral as one lax.scan (no carry beyond x)."""
+        n = len(sigmas) - 1
+        rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
+        for k in ("a", "b", "noise"):
+            rows[k] = np.zeros(n)
+        for i in range(n):
+            sd, su = _ancestral_step(sigmas[i], sigmas[i + 1], self.eta)
+            ratio = (sd - sigmas[i]) / sigmas[i]
+            rows["a"][i] = 1.0 + ratio
+            rows["b"][i] = -ratio
+            if sigmas[i + 1] > 0:
+                rows["noise"][i] = self.s_noise * su
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        denoise = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+
+        def body(carry, row):
+            x, key = carry
+            key, k_noise = jax.random.split(key)
+            denoised = denoise(x, row)
+            x_new = row["a"] * x + row["b"] * denoised
+            x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
+            return (x_new, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x, rng), tables)
+        return x
 
     # ------------------------------------------------------------------ #
     def _sample_3m_sde_scan(

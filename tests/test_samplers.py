@@ -151,3 +151,43 @@ def test_3m_sde_scan_matches_unrolled(setup):
     np.testing.assert_allclose(
         np.asarray(out_scan), np.asarray(out_unrolled), atol=1e-3, rtol=1e-3
     )
+
+
+def test_2m_sde_and_euler_a_scan_match_unrolled(setup):
+    """Scan versions equal the unrolled forms when eta=0 (deterministic)."""
+    schedule, model_fn, cond, uncond = setup
+    x_T = jax.random.normal(jax.random.PRNGKey(21), X_SHAPE)
+    for solver, unrolled_name in [
+        ("edm_dpm++_2m_sde", "_solve_dpmpp_2m_sde"),
+        ("edm_euler_a", "_solve_euler_a"),
+    ]:
+        s = EDMSampler(schedule.betas, "eps", rescale_cfg=False,
+                       solver_type=solver, eta=0.0)
+        out_scan = s.sample(model_fn, x_T, cond, uncond, 2.0, 6, jax.random.PRNGKey(22))
+        sigmas, ts = s.make_schedule(6)
+        bs = X_SHAPE[0]
+
+        def denoiser(x, sigma, rescaled_cfg, s=s, sigmas=sigmas, ts=ts):
+            sigma = float(sigma)
+            c_in = 1.0 / (sigma**2 + 1.0) ** 0.5
+            t_model = s._model_t(sigma, sigmas, ts)
+            t_vec = jnp.full((bs,), t_model, jnp.float32)
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t_vec, t_vec], axis=0)
+            c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
+            out = model_fn((x2 * c_in).astype(x2.dtype), t2, c2) * (-sigma) + x2
+            o_c, o_u = jnp.split(out, 2, axis=0)
+            return o_u + rescaled_cfg * (o_c - o_u)
+
+        def cfg_at(sigma, s=s, sigmas=sigmas, ts=ts):
+            t_model = s._model_t(float(sigma), sigmas, ts)
+            return float(s.cfg_scales(2.0, np.array([t_model]))[0])
+
+        x0 = x_T * np.sqrt(1.0 + sigmas[0] ** 2)
+        out_unrolled = getattr(s, unrolled_name)(
+            denoiser, x0, sigmas, cfg_at, jax.random.PRNGKey(22)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_scan), np.asarray(out_unrolled), atol=1e-3, rtol=1e-3,
+            err_msg=solver,
+        )
