@@ -53,7 +53,13 @@ def load_file_from_url(url: str, model_dir: str = None) -> str:
     if not os.path.exists(path):
         print(f"downloading {url} -> {path}")
         tmp = path + ".tmp"
-        urllib.request.urlretrieve(url, tmp)
+        try:
+            urllib.request.urlretrieve(url, tmp)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"could not download {url} ({e}); on offline hosts place the "
+                f"file manually at {path} (or set DIFFBIR_TPU_WEIGHTS)"
+            ) from e
         os.replace(tmp, path)
     return path
 

@@ -66,3 +66,53 @@ def test_gaussian_weights_parity(ref_common):
     ours = gaussian_weights(32, 24)
     theirs = ref_common.gaussian_weights(32, 24)
     np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+def test_make_tiled_fn_parity(ref_common):
+    """Gaussian-blended tiling must match the reference's tiled execution
+    exactly for an arbitrary (linear) tile function."""
+    import torch
+
+    from diffbir_tpu.tiling import make_tiled_fn
+
+    g = np.random.default_rng(3)
+    x = g.random((1, 40, 56, 3)).astype(np.float32)
+
+    def t_fn(t):  # torch NCHW
+        return t * 2.0 + 1.0
+
+    ref_tiled = ref_common.make_tiled_fn(t_fn, size=16, stride=8, progress=False)
+    with torch.no_grad():
+        theirs = ref_tiled(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    j_fn = lambda t: t * 2.0 + 1.0  # noqa: E731
+    ours = make_tiled_fn(j_fn, size=16, stride=8)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_make_tiled_fn_upscale_parity(ref_common):
+    import torch
+
+    from diffbir_tpu.tiling import make_tiled_fn
+
+    g = np.random.default_rng(4)
+    x = g.random((1, 32, 48, 3)).astype(np.float32)
+
+    def t_up(t):
+        return torch.repeat_interleave(torch.repeat_interleave(t, 2, -2), 2, -1)
+
+    ref_tiled = ref_common.make_tiled_fn(
+        t_up, size=16, stride=8, scale_type="up", scale=2, progress=False
+    )
+    with torch.no_grad():
+        theirs = ref_tiled(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    def j_up(t):
+        return jnp.repeat(jnp.repeat(t, 2, 1), 2, 2)
+
+    ours = make_tiled_fn(j_up, size=16, stride=8, scale_type="up", scale=2)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-5, rtol=1e-5
+    )
