@@ -138,9 +138,20 @@ class InferenceLoop:
                 p for p in (caption, self.args.pos_prompt) if p
             )
             lq_arr = self.after_load_lq(lq)
-            batch = np.stack([lq_arr] * self.args.n_samples)
             self.loop_ctx["prompt"] = pos_prompt
-            samples = self.pipeline.run(
+            n = self.args.n_samples
+            bs = max(1, int(getattr(self.args, "batch_size", n) or n))
+            chunks = []
+            for off in range(0, n, bs):
+                chunk = np.stack([lq_arr] * min(bs, n - off))
+                chunks.append(self._run_pipeline(chunk, pos_prompt, off))
+            samples = np.concatenate(chunks, axis=0)
+            for i in range(samples.shape[0]):
+                self.save(Image.fromarray(samples[i]), i)
+        self.write_prompt_log()
+
+    def _run_pipeline(self, batch, pos_prompt, seed_offset=0):
+        return self.pipeline.run(
                 batch,
                 steps=self.args.steps,
                 strength=self.args.strength,
@@ -161,7 +172,9 @@ class InferenceLoop:
                 cldm_tiled=getattr(self.args, "cldm_tiled", False),
                 cldm_tile_size=getattr(self.args, "cldm_tile_size", 512),
                 cldm_tile_stride=getattr(self.args, "cldm_tile_stride", 256),
-                seed=self.args.seed,
+                # advance the seed per chunk so n_samples > batch_size yields
+                # distinct samples (torch's global RNG advances implicitly)
+                seed=self.args.seed + seed_offset,
                 eta=getattr(self.args, "eta", 0.0),
                 s_churn=getattr(self.args, "s_churn", 0.0),
                 s_tmin=getattr(self.args, "s_tmin", 0.0),
@@ -169,9 +182,6 @@ class InferenceLoop:
                 s_noise=getattr(self.args, "s_noise", 1.0),
                 order=getattr(self.args, "order", 1),
             )
-            for i in range(samples.shape[0]):
-                self.save(Image.fromarray(samples[i]), i)
-        self.write_prompt_log()
 
     def save(self, img: Image.Image, sample_idx: int) -> None:
         stem = self.loop_ctx["file_stem"]
