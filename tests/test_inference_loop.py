@@ -89,3 +89,30 @@ def test_guided_sampling_moves_toward_target():
     d_base = float(jnp.mean((base - target) ** 2))
     d_guided = float(jnp.mean((guided - target) ** 2))
     assert d_guided < d_base
+
+
+def test_loop_batched_samples(tmp_path):
+    """n_samples split across batch_size chunks with distinct seeds."""
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    g = np.random.default_rng(1)
+    Image.fromarray((g.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+        in_dir / "img.png"
+    )
+    args = Namespace(
+        input=str(in_dir), output=str(out_dir), n_samples=3, batch_size=2,
+        steps=2, strength=1.0, pos_prompt="", neg_prompt="bad", cfg_scale=1.0,
+        start_point_type="noise", sampler="spaced", noise_aug=0,
+        rescale_cfg=False, cleaner_tiled=False, cleaner_tile_size=512,
+        cleaner_tile_stride=256, seed=3, captioner="none", guidance=False,
+        version="v2.1", task="sr", upscale=1.0, precision="fp32",
+    )
+    loop = TinyLoop(args)
+    loop.run()
+    outs = sorted(f for f in os.listdir(out_dir) if f.endswith(".png"))
+    assert outs == ["img_0.png", "img_1.png", "img_2.png"]
+    # chunk seeds differ -> sample from chunk 2 differs from chunk 1
+    a = np.array(Image.open(out_dir / "img_0.png"))
+    c = np.array(Image.open(out_dir / "img_2.png"))
+    assert np.any(a != c)
