@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from diffbir_tpu.models.cldm import ControlLDM
 from diffbir_tpu.pipeline import IdentityCleanerPipeline
@@ -52,3 +53,41 @@ def test_e2e_nonsquare_padding(tiny_pipe):
     lq = np.random.default_rng(2).integers(0, 255, (1, 72, 96, 3), dtype=np.uint8)
     out = tiny_pipe.run(lq, steps=2, cfg_scale=1.5, sampler_type="spaced")
     assert out.shape == (1, 72, 96, 3)
+
+
+def test_bsrnet_pipeline_upscale8():
+    """BASELINE config 4 shape: x4 SR cleaner + upscale-8 output (tiny)."""
+    from diffbir_tpu.models.bsrnet import RRDBNet
+    from diffbir_tpu.pipeline import BSRNetPipeline
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=50)
+    rrdb = RRDBNet(nf=8, nb=1, gc=4, sf=4)
+    rp = jax.jit(rrdb.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    pipe = BSRNetPipeline(
+        cleaner_apply=jax.jit(lambda x: jnp.clip(rrdb.apply(rp, x), 0, 1)),
+        cldm=cldm, params=params, schedule=schedule, upscale=8.0,
+        min_cond_size=64,
+    )
+    lq = np.random.default_rng(0).integers(0, 255, (1, 16, 16, 3), dtype=np.uint8)
+    out = pipe.run(lq, steps=2, cfg_scale=1.0, sampler_type="spaced")
+    assert out.shape == (1, 128, 128, 3)  # 16 * 8
+
+
+def test_scunet_pipeline_denoise():
+    from diffbir_tpu.models.scunet import SCUNet
+    from diffbir_tpu.pipeline import SCUNetPipeline
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=50)
+    scu = SCUNet(config=(1, 1, 1, 1, 1, 1, 1), dim=64)
+    sp = jax.jit(scu.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    pipe = SCUNetPipeline(
+        cleaner_apply=jax.jit(lambda x: jnp.clip(scu.apply(sp, x), 0, 1)),
+        cldm=cldm, params=params, schedule=schedule, min_cond_size=64,
+    )
+    lq = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    out = pipe.run(lq, steps=2, cfg_scale=1.0, sampler_type="spaced")
+    assert out.shape == (1, 64, 64, 3)
