@@ -38,6 +38,8 @@ SOLVER_HPARAMS = {
     "dpm_2": ("s_churn", "s_tmin", "s_tmax", "s_noise"),
     "dpm_2_a": ("eta", "s_noise"),
     "lms": ("order",),
+    "dpm_fast": ("eta", "s_noise"),
+    "dpm_adaptive": ("order", "eta", "s_noise"),
     "dpm++_2s_a": ("eta", "s_noise"),
     "dpm++_sde": ("eta", "s_noise"),
     "dpm++_2m": (),
@@ -468,6 +470,132 @@ class EDMSampler(Sampler):
             cur_order = min(i + 1, self.order)
             coeffs = [_lms_coeff(cur_order, sigmas, i, j) for j in range(cur_order)]
             x = x + sum(c * d_ for c, d_ in zip(coeffs, reversed(ds)))
+        return x
+
+    # -- k-diffusion DPMSolver (eps-parameterized, t = -log sigma) -------- #
+    def _kd_eps(self, den, x, t, cfg_at):
+        sig = float(np.exp(-t))
+        denoised = den(x, sig, cfg_at(sig))
+        return (x - denoised) / sig
+
+    def _kd_step(self, den, x, t, t_next, order, cfg_at, eps0=None):
+        """dpm_solver_{1,2,3}_step (k_diffusion.py:363-392), eps0 cached."""
+        h = t_next - t
+        sig = lambda tt: float(np.exp(-tt))  # noqa: E731
+        eps = eps0 if eps0 is not None else self._kd_eps(den, x, t, cfg_at)
+        if order == 1:
+            return x - sig(t_next) * np.expm1(h) * eps
+        if order == 2:
+            r1 = 0.5
+            s1 = t + r1 * h
+            u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+            eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
+            return (
+                x - sig(t_next) * np.expm1(h) * eps
+                - sig(t_next) / (2 * r1) * np.expm1(h) * (eps_r1 - eps)
+            )
+        r1, r2 = 1 / 3, 2 / 3
+        s1, s2 = t + r1 * h, t + r2 * h
+        u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+        eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
+        u2 = (
+            x - sig(s2) * np.expm1(r2 * h) * eps
+            - sig(s2) * (r2 / r1) * (np.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
+        )
+        eps_r2 = self._kd_eps(den, u2, s2, cfg_at)
+        return (
+            x - sig(t_next) * np.expm1(h) * eps
+            - sig(t_next) / r2 * (np.expm1(h) / h - 1) * (eps_r2 - eps)
+        )
+
+    def _solve_dpm_fast(self, den, x, sigmas, cfg_at, rng):
+        """DPM-Solver-Fast, fixed step (k_diffusion.py:393-430, :498-510)."""
+        pos = sigmas[sigmas > 0]
+        t_start, t_end = -np.log(pos.max()), -np.log(pos.min())
+        n = len(sigmas) - 1
+        m = n // 3 + 1
+        ts = np.linspace(t_start, t_end, m + 1)
+        orders = [3] * (m - 2) + [2, 1] if n % 3 == 0 else [3] * (m - 1) + [n % 3]
+        eta, s_noise = self.eta, self.s_noise
+        for i, o in enumerate(orders):
+            t, t_next = float(ts[i]), float(ts[i + 1])
+            if eta:
+                sd, _ = _ancestral_step(np.exp(-t), np.exp(-t_next), eta)
+                t_next_ = min(t_end, -np.log(sd))
+                su = max(np.exp(-2 * t_next) - np.exp(-2 * t_next_), 0.0) ** 0.5
+            else:
+                t_next_, su = t_next, 0.0
+            x = self._kd_step(den, x, t, t_next_, o, cfg_at)
+            if su > 0:
+                rng, k = jax.random.split(rng)
+                x = x + su * s_noise * jax.random.normal(k, x.shape, x.dtype)
+        return x
+
+    def _solve_dpm_adaptive(self, den, x, sigmas, cfg_at, rng):
+        """DPM-Solver-12/23 with PID-controlled adaptive steps
+        (k_diffusion.py:309-336, :432-496). The step size is data-dependent,
+        so this solver runs EAGERLY (host loop of jitted model calls); it
+        cannot be embedded in a fully-jitted pipeline program — use it via
+        the sampler API directly."""
+        import math as _math
+
+        if isinstance(x, jax.core.Tracer):
+            raise RuntimeError(
+                "edm_dpm_adaptive has data-dependent control flow and must run "
+                "eagerly (call sampler.sample outside jit)"
+            )
+        order = 3 if self.order not in (2, 3) else self.order
+        rtol, atol = 0.05, 0.0078
+        pcoeff, icoeff, dcoeff, accept_safety = 0.0, 1.0, 0.0, 0.81
+        eta, s_noise = self.eta, self.s_noise
+        pos = sigmas[sigmas > 0]
+        t_start, t_end = -np.log(pos.max()), -np.log(pos.min())
+
+        # PID controller state (k_diffusion.py:309-336)
+        h = 0.05
+        b1 = (pcoeff + icoeff + dcoeff) / (1.5 if eta else order)
+        b2 = -(pcoeff + 2 * dcoeff) / (1.5 if eta else order)
+        b3 = dcoeff / (1.5 if eta else order)
+        errs: list = []
+
+        s = t_start
+        x_prev = x
+        while s < t_end - 1e-5:
+            t = min(t_end, s + h)
+            if eta:
+                sd, _ = _ancestral_step(np.exp(-s), np.exp(-t), eta)
+                t_ = min(t_end, -np.log(sd))
+                su = max(np.exp(-2 * t) - np.exp(-2 * t_), 0.0) ** 0.5
+            else:
+                t_, su = t, 0.0
+            eps0 = self._kd_eps(den, x, s, cfg_at)
+            if order == 2:
+                x_low = self._kd_step(den, x, s, t_, 1, cfg_at, eps0=eps0)
+                x_high = self._kd_step(den, x, s, t_, 2, cfg_at, eps0=eps0)
+            else:
+                x_low = self._kd_step(den, x, s, t_, 2, cfg_at, eps0=eps0)
+                x_high = self._kd_step(den, x, s, t_, 3, cfg_at, eps0=eps0)
+            delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+            error = float(
+                jnp.linalg.norm((x_low - x_high) / delta) / (x.size ** 0.5)
+            )
+            # PID propose_step
+            inv_err = 1.0 / (error + 1e-8)
+            if not errs:
+                errs = [inv_err, inv_err, inv_err]
+            errs[0] = inv_err
+            factor = errs[0] ** b1 * errs[1] ** b2 * errs[2] ** b3
+            factor = 1 + _math.atan(factor - 1)
+            accept = factor >= accept_safety
+            if accept:
+                errs[2], errs[1] = errs[1], errs[0]
+                x_prev = x_low
+                x = x_high
+                if su > 0:
+                    rng, k = jax.random.split(rng)
+                    x = x + su * s_noise * jax.random.normal(k, x.shape, x.dtype)
+                s = t
+            h *= factor
         return x
 
     def _solve_dpmpp_2s_a(self, den, x, sigmas, cfg_at, rng):

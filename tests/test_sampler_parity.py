@@ -281,3 +281,40 @@ def test_spaced_sampler_mean_trajectory_parity(betas, ref_samplers, monkeypatch)
     np.testing.assert_allclose(
         np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
     )
+
+
+def test_dpm_fast_parity(betas, ref_samplers):
+    """edm_dpm_fast at eta=0 is deterministic — exact trajectory match."""
+    import torch
+
+    _, _, RefEDM = ref_samplers
+    import diffbir.sampler.k_diffusion as kd
+
+    x_T, t_cond, t_uncond, j_cond = _conds()
+
+    # drive the reference sample_dpm_fast through the EDM denoiser plumbing
+    ref = RefEDM(
+        betas, "eps", rescale_cfg=False, solver_type="edm_euler",
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=0, order=3,
+    )
+    ref.make_schedule(9)
+    den = ref.convert_to_denoiser(TorchMock(), t_cond, None, 1.0)
+    sigmas_t = ref.sigmas
+    pos = sigmas_t[sigmas_t > 0]
+    with torch.no_grad():
+        x0 = torch.from_numpy(x_T) * torch.sqrt(1.0 + sigmas_t[0] ** 2)
+        theirs = kd.sample_dpm_fast(
+            den, x0, float(pos.min()), float(pos.max()), 9, eta=0.0, disable=True,
+        ).numpy()
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    ours = EDMSampler(
+        betas, "eps", rescale_cfg=False, solver_type="edm_dpm_fast", eta=0.0,
+    ).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 9, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=3e-4, rtol=3e-4
+    )

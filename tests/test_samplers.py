@@ -191,3 +191,16 @@ def test_2m_sde_and_euler_a_scan_match_unrolled(setup):
             np.asarray(out_scan), np.asarray(out_unrolled), atol=1e-3, rtol=1e-3,
             err_msg=solver,
         )
+
+
+def test_dpm_fast_and_adaptive(setup):
+    schedule, model_fn, cond, uncond = setup
+    for solver in ["edm_dpm_fast", "edm_dpm_adaptive"]:
+        s = EDMSampler(
+            schedule.betas, "eps", rescale_cfg=False, solver_type=solver,
+            eta=0.0, order=3,
+        )
+        x_T = jax.random.normal(jax.random.PRNGKey(31), X_SHAPE)
+        out = s.sample(model_fn, x_T, cond, uncond, 1.5, 6, jax.random.PRNGKey(32))
+        out = np.asarray(out)
+        assert out.shape == X_SHAPE and np.all(np.isfinite(out)), solver
