@@ -169,6 +169,7 @@ class InferenceLoop:
                 vae_encoder_tile_size=getattr(self.args, "vae_encoder_tile_size", 256),
                 vae_decoder_tiled=getattr(self.args, "vae_decoder_tiled", False),
                 vae_decoder_tile_size=getattr(self.args, "vae_decoder_tile_size", 256),
+                vae_tile_mode=getattr(self.args, "vae_tile_mode", "blend"),
                 cldm_tiled=getattr(self.args, "cldm_tiled", False),
                 cldm_tile_size=getattr(self.args, "cldm_tile_size", 512),
                 cldm_tile_stride=getattr(self.args, "cldm_tile_stride", 256),

@@ -104,7 +104,7 @@ class Pipeline:
          rescale_cfg, eta, s_churn, s_tmin, s_tmax, s_noise, order,
          h_img, w_img, bs,
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
-         cldm_tiled, cldm_tile, cldm_stride) = key
+         vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -190,7 +190,8 @@ class Pipeline:
                 model_fn, x_T, cond, uncond, cfg_scale, steps, k_sample, **extra
             )
             x = cldm.vae_decode(
-                params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8
+                params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8,
+                tile_mode=vae_tile_mode,
             )
             return x
 
@@ -222,6 +223,7 @@ class Pipeline:
         vae_encoder_tile_size: int = 256,
         vae_decoder_tiled: bool = False,
         vae_decoder_tile_size: int = 256,
+        vae_tile_mode: str = "blend",
         cldm_tiled: bool = False,
         cldm_tile_size: int = 512,
         cldm_tile_stride: int = 256,
@@ -259,6 +261,7 @@ class Pipeline:
             int(order), cond_img.shape[1], cond_img.shape[2], bs,
             bool(vae_encoder_tiled), int(vae_encoder_tile_size),
             bool(vae_decoder_tiled), int(vae_decoder_tile_size),
+            str(vae_tile_mode),
             bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
         )
         fn = self._generate_fn(key)

@@ -23,10 +23,15 @@ DEFAULT_NEG_PROMPT = (
 )
 
 SAMPLER_CHOICES = [
+    # reference CLI surface (inference.py:89-108) ...
     "dpm++_m2", "spaced", "ddim",
     "edm_euler", "edm_euler_a", "edm_heun", "edm_dpm_2", "edm_dpm_2_a",
     "edm_lms", "edm_dpm++_2s_a", "edm_dpm++_sde", "edm_dpm++_2m",
     "edm_dpm++_2m_sde", "edm_dpm++_3m_sde",
+    # ... plus extras this stack supports (dpm_adaptive is API-only: its
+    # data-dependent step count cannot live inside the jitted pipeline)
+    "dpm++_m1", "dpm++_m3", "dpm++_s2", "dpm++_s3", "dpm_m2", "dpm_m3",
+    "edm_dpm_fast",
 ]
 
 
@@ -55,6 +60,10 @@ def parse_args() -> Namespace:
     p.add_argument("--vae_encoder_tile_size", type=int, default=256)
     p.add_argument("--vae_decoder_tiled", action="store_true")
     p.add_argument("--vae_decoder_tile_size", type=int, default=256)
+    p.add_argument("--vae_tile_mode", type=str, default="blend",
+                   choices=["blend", "sync_gn"],
+                   help="tiled-VAE mode: Gaussian blending (bounded memory) "
+                        "or cross-tile GroupNorm sync (seam-free)")
     p.add_argument("--cldm_tiled", action="store_true")
     p.add_argument("--cldm_tile_size", type=int, default=512)
     p.add_argument("--cldm_tile_stride", type=int, default=256)
