@@ -253,6 +253,60 @@ class ControlLDM:
         filled, missing, _ = convert.fill_flax_params(params["controlnet"], sd, strict=True)
         return {**params, "controlnet": filled}
 
+    # ------------------------------------------------------------------ #
+    def make_cached_control_model(
+        self,
+        params: Params,
+        strength: float,
+        interval: int,
+        latent_hw: Tuple[int, int],
+        call_batch: int,
+    ):
+        """Turbo mode: recompute the ControlNet residuals only every
+        ``interval`` denoise steps, reusing the cached 13 tensors in between
+        (block-caching across timesteps — the control signal drifts slowly;
+        cf. "Cache Me if You Can", arXiv:2312.03209; the reference lists
+        DiffBIR-turbo as TODO, README.md:95-96).
+
+        Returns a stateful model fn (``has_aux``) for the scan samplers.
+        ``call_batch`` is the batch THE MODEL SEES (2B under batched CFG).
+        """
+        h, w = latent_hw
+        b = call_batch
+        cn_shapes = jax.eval_shape(
+            lambda x, hint, t, ctx: self.controlnet.apply(
+                params["controlnet"], x, hint, t, ctx
+            ),
+            jnp.zeros((b, h, w, 4)),
+            jnp.zeros((b, h, w, self.controlnet.hint_channels)),
+            jnp.zeros((b,)),
+            jnp.zeros((b, self.clip.context_length, self.clip.width)),
+        )
+
+        def init_aux():
+            return (
+                jnp.zeros((), jnp.int32),
+                tuple(jnp.zeros(s.shape, s.dtype) for s in cn_shapes),
+            )
+
+        def model(x, t, c, aux):
+            i, cached = aux
+            control = jax.lax.cond(
+                i % interval == 0,
+                lambda _: self.controlnet.apply(
+                    params["controlnet"], x, c["c_img"], t, c["c_txt"]
+                ),
+                lambda _: cached,
+                None,
+            )
+            scaled = tuple(ci * strength for ci in control)
+            out = self.unet.apply(params["unet"], x, t, c["c_txt"], control=scaled)
+            return out, (i + 1, control)
+
+        model.has_aux = True
+        model.init_aux = init_aux
+        return model
+
     def load_controlnet_from_unet(self, params: Params) -> Params:
         """Init controlnet from the (loaded) UNet encoder; zero-pad the input
         conv for the extra hint channels (cldm.py:68-90)."""

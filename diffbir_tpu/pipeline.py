@@ -104,7 +104,8 @@ class Pipeline:
          rescale_cfg, eta, s_churn, s_tmin, s_tmax, s_noise, order,
          h_img, w_img, bs,
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
-         vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride) = key
+         vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
+         control_interval) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -150,7 +151,18 @@ class Pipeline:
             def base_model_fn(x, t, c):
                 return cldm(params, x, t, c, control_scales=strength)
 
-            if cldm_tiled:
+            if control_interval > 1 and not cldm_tiled:
+                # turbo: recompute ControlNet residuals every k-th step only
+                if sampler_type not in ("spaced", "ddim", "edm_dpm++_3m_sde"):
+                    raise ValueError(
+                        "control_interval > 1 requires a stateful-scan sampler "
+                        "(spaced, ddim or edm_dpm++_3m_sde)"
+                    )
+                model_fn = cldm.make_cached_control_model(
+                    params, strength, control_interval, (h1, w1),
+                    call_batch=bs * (2 if use_cfg else 1),
+                )
+            elif cldm_tiled:
                 # per-step latent tiling with the hint sliced in sync
                 # (reference spaced_sampler.py:204-219 via monkey-patching)
                 lat_ts, lat_st = cldm_tile // 8, cldm_stride // 8
@@ -227,6 +239,7 @@ class Pipeline:
         cldm_tiled: bool = False,
         cldm_tile_size: int = 512,
         cldm_tile_stride: int = 256,
+        control_interval: int = 1,
     ) -> jax.Array:
         """Stage-2 generation on a [0,1] NHWC condition image.
 
@@ -263,6 +276,7 @@ class Pipeline:
             bool(vae_decoder_tiled), int(vae_decoder_tile_size),
             str(vae_tile_mode),
             bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
+            int(control_interval),
         )
         fn = self._generate_fn(key)
         x = fn(self.params, cond_img, pos_tok, neg_tok, rng)

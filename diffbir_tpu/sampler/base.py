@@ -43,6 +43,28 @@ def cfg_model_call(
     return o_uncond + cfg_scale * (o_cond - o_uncond)
 
 
+def cfg_model_call_aux(
+    model_fn,
+    x: jax.Array,
+    t: jax.Array,
+    cond: Mapping[str, jax.Array],
+    uncond: Optional[Mapping[str, jax.Array]],
+    cfg_scale: jax.Array,
+    aux,
+):
+    """cfg_model_call for stateful models: model_fn(x, t, cond, aux) ->
+    (out, aux). Used by the turbo control-caching wrapper (the aux pytree
+    rides the sampler's scan carry)."""
+    if uncond is None:
+        return model_fn(x, t, cond, aux)
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
+    out, aux = model_fn(x2, t2, c2, aux)
+    o_cond, o_uncond = jnp.split(out, 2, axis=0)
+    return o_uncond + cfg_scale * (o_cond - o_uncond), aux
+
+
 class Sampler:
     """Holds the training schedule; subclasses implement ``sample``."""
 

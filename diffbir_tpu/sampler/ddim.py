@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..schedule import make_ddim_params
-from .base import ModelFn, Sampler, cfg_model_call
+from .base import ModelFn, Sampler, cfg_model_call, cfg_model_call_aux
 
 
 class DDIMSampler(Sampler):
@@ -48,12 +48,19 @@ class DDIMSampler(Sampler):
         tables = {k: jnp.asarray(v) for k, v in tables.items()}
         bs = x_T.shape[0]
         v_param = self.parameterization == "v"
+        has_aux = getattr(model_fn, "has_aux", False)
+        aux0 = model_fn.init_aux() if has_aux else None
 
         def body(carry, row):
-            x, rng = carry
+            x, rng, aux = carry
             rng, sub = jax.random.split(rng)
             t_model = jnp.full((bs,), row["model_t"], x.dtype)
-            out = cfg_model_call(model_fn, x, t_model, cond, uncond, row["cfg"])
+            if has_aux:
+                out, aux = cfg_model_call_aux(
+                    model_fn, x, t_model, cond, uncond, row["cfg"], aux
+                )
+            else:
+                out = cfg_model_call(model_fn, x, t_model, cond, uncond, row["cfg"])
             out = out.astype(x.dtype)
             sqrt_a, sqrt_oma = jnp.sqrt(row["a_t"]), jnp.sqrt(1.0 - row["a_t"])
             if v_param:
@@ -64,7 +71,7 @@ class DDIMSampler(Sampler):
             dir_xt = jnp.sqrt(1.0 - row["a_prev"] - row["sigma"] ** 2) * e_t
             noise = row["sigma"] * jax.random.normal(sub, x.shape, x.dtype)
             x = jnp.sqrt(row["a_prev"]) * pred_x0 + dir_xt + noise
-            return (x, rng), None
+            return (x, rng, aux), None
 
-        (x, _), _ = jax.lax.scan(body, (x_T, rng), tables)
+        (x, _, _), _ = jax.lax.scan(body, (x_T, rng, aux0), tables)
         return x

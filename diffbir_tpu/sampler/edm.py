@@ -338,34 +338,40 @@ class EDMSampler(Sampler):
             h_1, h_2 = h, h_1
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
 
+        has_aux = getattr(model_fn, "has_aux", False)
+        aux0 = model_fn.init_aux() if has_aux else None
+
         def body(carry, row):
-            x, d1, d2, key = carry
+            x, d1, d2, key, aux = carry
             key, k_noise = jax.random.split(key)
             t_vec = jnp.full((bs,), row["t_model"], jnp.float32)
 
-            def call(xx, tt, cc):
-                return model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc) \
-                    * row["c_out"] + xx * row["c_skip"]
+            def call(xx, tt, cc, aux):
+                if has_aux:
+                    raw, aux = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc, aux)
+                else:
+                    raw = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc)
+                return raw * row["c_out"] + xx * row["c_skip"], aux
 
             if use_cfg:
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_vec, t_vec], axis=0)
                 c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
-                out = call(x2, t2, c2)
+                out, aux = call(x2, t2, c2, aux)
                 o_c, o_u = jnp.split(out, 2, axis=0)
                 denoised = o_u + row["cfg"] * (o_c - o_u)
             else:
-                denoised = call(x, t_vec, cond)
+                denoised, aux = call(x, t_vec, cond, aux)
             denoised = denoised.astype(x.dtype)
 
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)
             noise = jax.random.normal(k_noise, x.shape, x.dtype)
             x_new = x_new + row["noise"] * noise
-            return (x_new, denoised, d1, key), None
+            return (x_new, denoised, d1, key, aux), None
 
-        init = (x, jnp.zeros_like(x), jnp.zeros_like(x), rng)
-        (x, _, _, _), _ = jax.lax.scan(body, init, tables)
+        init = (x, jnp.zeros_like(x), jnp.zeros_like(x), rng, aux0)
+        (x, _, _, _, _), _ = jax.lax.scan(body, init, tables)
         return x
 
     # ------------------------------------------------------------------ #

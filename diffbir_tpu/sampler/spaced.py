@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..schedule import make_spaced_coeffs
-from .base import ModelFn, Sampler, cfg_model_call
+from .base import ModelFn, Sampler, cfg_model_call, cfg_model_call_aux
 
 
 class SpacedSampler(Sampler):
@@ -54,12 +54,19 @@ class SpacedSampler(Sampler):
         tables = {k: jnp.asarray(v) for k, v in tables.items()}
         bs = x_T.shape[0]
         eps_param = self.parameterization == "eps"
+        has_aux = getattr(model_fn, "has_aux", False)
+        aux0 = model_fn.init_aux() if has_aux else None
 
         def body(carry, row):
-            x, rng = carry
+            x, rng, aux = carry
             rng, sub = jax.random.split(rng)
             t_model = jnp.full((bs,), row["model_t"], x.dtype)
-            out = cfg_model_call(model_fn, x, t_model, cond, uncond, row["cfg"])
+            if has_aux:
+                out, aux = cfg_model_call_aux(
+                    model_fn, x, t_model, cond, uncond, row["cfg"], aux
+                )
+            else:
+                out = cfg_model_call(model_fn, x, t_model, cond, uncond, row["cfg"])
             out = out.astype(x.dtype)
             if eps_param:
                 x0 = row["sqrt_recip"] * x - row["sqrt_recipm1"] * out
@@ -76,7 +83,7 @@ class SpacedSampler(Sampler):
             mean = row["coef1"] * x0 + row["coef2"] * x
             noise = jax.random.normal(sub, x.shape, x.dtype)
             x = mean + row["nonzero"] * row["sqrt_var"] * noise
-            return (x, rng), None
+            return (x, rng, aux), None
 
-        (x, _), _ = jax.lax.scan(body, (x_T, rng), tables)
+        (x, _, _), _ = jax.lax.scan(body, (x_T, rng, aux0), tables)
         return x

@@ -82,6 +82,10 @@ def parse_args() -> Namespace:
     p.add_argument("--order", type=int, default=4,
                    help="order of the edm_lms solver")
     p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--control_interval", type=int, default=1,
+                   help="turbo: recompute ControlNet residuals every k steps "
+                        "(k>1 trades a little fidelity for speed; spaced/ddim/"
+                        "edm_dpm++_3m_sde samplers)")
     p.add_argument("--batch_size", type=int, default=1)
     # guidance
     p.add_argument("--guidance", action="store_true")

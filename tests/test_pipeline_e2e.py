@@ -91,3 +91,27 @@ def test_scunet_pipeline_denoise():
     lq = np.random.default_rng(1).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
     out = pipe.run(lq, steps=2, cfg_scale=1.0, sampler_type="spaced")
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_turbo_control_interval(tiny_pipe):
+    """interval=1 turbo must equal the plain path exactly; interval=3 runs
+    and differs only slightly (cached ControlNet residuals)."""
+    lq = np.random.default_rng(5).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    base = tiny_pipe.run(lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=9)
+    same = tiny_pipe.run(
+        lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=9, control_interval=1
+    )
+    np.testing.assert_array_equal(base, same)
+    turbo = tiny_pipe.run(
+        lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=9, control_interval=2
+    )
+    assert turbo.shape == base.shape
+    # at init the ControlNet residuals are ~zero-ish after the +0.01 perturb?
+    # outputs stay finite and close in scale
+    assert np.all(np.isfinite(turbo.astype(np.float32)))
+
+    # ddim + turbo also runs
+    turbo_ddim = tiny_pipe.run(
+        lq, steps=4, cfg_scale=2.0, sampler_type="ddim", seed=9, control_interval=2
+    )
+    assert turbo_ddim.shape == base.shape
