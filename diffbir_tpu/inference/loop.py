@@ -174,6 +174,7 @@ class InferenceLoop:
                 cldm_tile_size=getattr(self.args, "cldm_tile_size", 512),
                 cldm_tile_stride=getattr(self.args, "cldm_tile_stride", 256),
                 control_interval=getattr(self.args, "control_interval", 1),
+                turbo_encoder=getattr(self.args, "turbo_encoder", False),
                 # advance the seed per chunk so n_samples > batch_size yields
                 # distinct samples (torch's global RNG advances implicitly)
                 seed=self.args.seed + seed_offset,

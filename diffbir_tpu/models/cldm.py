@@ -261,6 +261,7 @@ class ControlLDM:
         interval: int,
         latent_hw: Tuple[int, int],
         call_batch: int,
+        cache_unet_encoder: bool = False,
     ):
         """Turbo mode: recompute the ControlNet residuals only every
         ``interval`` denoise steps, reusing the cached 13 tensors in between
@@ -268,28 +269,63 @@ class ControlLDM:
         cf. "Cache Me if You Can", arXiv:2312.03209; the reference lists
         DiffBIR-turbo as TODO, README.md:95-96).
 
+        ``cache_unet_encoder`` additionally freezes the UNet encoder + middle
+        features between refreshes (encoder propagation, arXiv:2312.09608) —
+        only the decoder runs at cached steps.
+
         Returns a stateful model fn (``has_aux``) for the scan samplers.
         ``call_batch`` is the batch THE MODEL SEES (2B under batched CFG).
         """
         h, w = latent_hw
         b = call_batch
+        x0 = jnp.zeros((b, h, w, 4))
+        t0 = jnp.zeros((b,))
+        ctx0 = jnp.zeros((b, self.clip.context_length, self.clip.width))
         cn_shapes = jax.eval_shape(
             lambda x, hint, t, ctx: self.controlnet.apply(
                 params["controlnet"], x, hint, t, ctx
             ),
-            jnp.zeros((b, h, w, 4)),
-            jnp.zeros((b, h, w, self.controlnet.hint_channels)),
-            jnp.zeros((b,)),
-            jnp.zeros((b, self.clip.context_length, self.clip.width)),
+            x0, jnp.zeros((b, h, w, self.controlnet.hint_channels)), t0, ctx0,
         )
-
-        def init_aux():
-            return (
-                jnp.zeros((), jnp.int32),
-                tuple(jnp.zeros(s.shape, s.dtype) for s in cn_shapes),
+        zeros = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+            lambda s: jnp.zeros(s.shape, s.dtype), tree
+        )
+        if cache_unet_encoder:
+            enc_shapes = jax.eval_shape(
+                lambda x, t, ctx: self.unet.apply(
+                    params["unet"], x, t, ctx, phase="encode"
+                ),
+                x0, t0, ctx0,
             )
 
+        def init_aux():
+            aux = (jnp.zeros((), jnp.int32), zeros(cn_shapes))
+            if cache_unet_encoder:
+                aux = aux + (zeros(enc_shapes),)
+            return aux
+
         def model(x, t, c, aux):
+            if cache_unet_encoder:
+                i, cached_ctrl, cached_enc = aux
+                control, enc = jax.lax.cond(
+                    i % interval == 0,
+                    lambda _: (
+                        self.controlnet.apply(
+                            params["controlnet"], x, c["c_img"], t, c["c_txt"]
+                        ),
+                        self.unet.apply(
+                            params["unet"], x, t, c["c_txt"], phase="encode"
+                        ),
+                    ),
+                    lambda _: (cached_ctrl, cached_enc),
+                    None,
+                )
+                scaled = tuple(ci * strength for ci in control)
+                out = self.unet.apply(
+                    params["unet"], x, t, c["c_txt"], control=scaled,
+                    phase="decode", cached=enc,
+                )
+                return out, (i + 1, control, enc)
             i, cached = aux
             control = jax.lax.cond(
                 i % interval == 0,

@@ -208,7 +208,12 @@ class UNetModel(nn.Module):
         context: jax.Array,
         control: Optional[Tuple[jax.Array, ...]] = None,
         only_mid_control: bool = False,
+        phase: str = "full",
+        cached: Optional[Tuple[jax.Array, Tuple[jax.Array, ...]]] = None,
     ) -> jax.Array:
+        """``phase``: "full" | "encode" (returns (h_mid, hs)) | "decode"
+        (consumes ``cached`` = (h_mid, hs) instead of running the encoder —
+        encoder propagation across timesteps, arXiv:2312.09608)."""
         mc = self.model_channels
         ted = mc * 4
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
@@ -218,41 +223,52 @@ class UNetModel(nn.Module):
         emb = dense(ted, dtype=self.dtype, name="time_embed.0")(t_emb)
         emb = dense(ted, dtype=self.dtype, name="time_embed.2")(nn.silu(emb))
 
-        h = x.astype(self.dtype)
         emb = emb.astype(self.dtype)
         context = context.astype(self.dtype)
 
-        hs = []
-        h = conv(mc, 3, dtype=self.dtype, name="input_blocks.0.0")(h)
-        hs.append(h)
-        ch, ds, idx = mc, 1, 1
-        for level, mult in enumerate(self.channel_mult):
-            for _ in range(self.num_res_blocks):
-                h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h, emb)
-                ch = mult * mc
-                if ds in self.attention_resolutions:
-                    heads, dh = _head_split(ch, self.num_head_channels)
-                    h = ST(
-                        ch, heads, dh, depth=self.transformer_depth,
-                        use_linear=self.use_linear_in_transformer,
-                        dtype=self.dtype, name=f"input_blocks.{idx}.1",
-                    )(h, context)
-                hs.append(h)
-                idx += 1
-            if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h)
-                hs.append(h)
-                ds *= 2
-                idx += 1
+        if phase == "decode":
+            assert cached is not None
+            h, hs = cached
+            h = h.astype(self.dtype)
+            hs = [s.astype(self.dtype) for s in hs]
+            ch = h.shape[-1]
+            ds = 2 ** (len(self.channel_mult) - 1)
+        else:
+            h = x.astype(self.dtype)
+            hs = []
+            h = conv(mc, 3, dtype=self.dtype, name="input_blocks.0.0")(h)
+            hs.append(h)
+            ch, ds, idx = mc, 1, 1
+            for level, mult in enumerate(self.channel_mult):
+                for _ in range(self.num_res_blocks):
+                    h = Res(mult * mc, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h, emb)
+                    ch = mult * mc
+                    if ds in self.attention_resolutions:
+                        heads, dh = _head_split(ch, self.num_head_channels)
+                        h = ST(
+                            ch, heads, dh, depth=self.transformer_depth,
+                            use_linear=self.use_linear_in_transformer,
+                            dtype=self.dtype, name=f"input_blocks.{idx}.1",
+                        )(h, context)
+                    hs.append(h)
+                    idx += 1
+                if level != len(self.channel_mult) - 1:
+                    h = Downsample(ch, dtype=self.dtype, name=f"input_blocks.{idx}.0")(h)
+                    hs.append(h)
+                    ds *= 2
+                    idx += 1
 
-        heads, dh = _head_split(ch, self.num_head_channels)
-        h = Res(ch, dtype=self.dtype, name="middle_block.0")(h, emb)
-        h = ST(
-            ch, heads, dh, depth=self.transformer_depth,
-            use_linear=self.use_linear_in_transformer,
-            dtype=self.dtype, name="middle_block.1",
-        )(h, context)
-        h = Res(ch, dtype=self.dtype, name="middle_block.2")(h, emb)
+            heads, dh = _head_split(ch, self.num_head_channels)
+            h = Res(ch, dtype=self.dtype, name="middle_block.0")(h, emb)
+            h = ST(
+                ch, heads, dh, depth=self.transformer_depth,
+                use_linear=self.use_linear_in_transformer,
+                dtype=self.dtype, name="middle_block.1",
+            )(h, context)
+            h = Res(ch, dtype=self.dtype, name="middle_block.2")(h, emb)
+
+            if phase == "encode":
+                return h, tuple(hs)
 
         if control is not None:
             h = h + control[-1].astype(h.dtype)

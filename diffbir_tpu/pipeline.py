@@ -105,7 +105,7 @@ class Pipeline:
          h_img, w_img, bs,
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
          vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
-         control_interval) = key
+         control_interval, turbo_encoder) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -161,6 +161,7 @@ class Pipeline:
                 model_fn = cldm.make_cached_control_model(
                     params, strength, control_interval, (h1, w1),
                     call_batch=bs * (2 if use_cfg else 1),
+                    cache_unet_encoder=turbo_encoder,
                 )
             elif cldm_tiled:
                 # per-step latent tiling with the hint sliced in sync
@@ -240,6 +241,7 @@ class Pipeline:
         cldm_tile_size: int = 512,
         cldm_tile_stride: int = 256,
         control_interval: int = 1,
+        turbo_encoder: bool = False,
     ) -> jax.Array:
         """Stage-2 generation on a [0,1] NHWC condition image.
 
@@ -276,7 +278,7 @@ class Pipeline:
             bool(vae_decoder_tiled), int(vae_decoder_tile_size),
             str(vae_tile_mode),
             bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
-            int(control_interval),
+            int(control_interval), bool(turbo_encoder),
         )
         fn = self._generate_fn(key)
         x = fn(self.params, cond_img, pos_tok, neg_tok, rng)

@@ -82,6 +82,9 @@ def parse_args() -> Namespace:
     p.add_argument("--order", type=int, default=4,
                    help="order of the edm_lms solver")
     p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--turbo_encoder", action="store_true",
+                   help="with --control_interval>1, also cache the UNet "
+                        "encoder between refreshes (encoder propagation)")
     p.add_argument("--control_interval", type=int, default=1,
                    help="turbo: recompute ControlNet residuals every k steps "
                         "(k>1 trades a little fidelity for speed; spaced/ddim/"

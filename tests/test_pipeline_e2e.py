@@ -115,3 +115,13 @@ def test_turbo_control_interval(tiny_pipe):
         lq, steps=4, cfg_scale=2.0, sampler_type="ddim", seed=9, control_interval=2
     )
     assert turbo_ddim.shape == base.shape
+
+
+def test_turbo_encoder_caching(tiny_pipe):
+    out = tiny_pipe.run(
+        lq=np.random.default_rng(6).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8),
+        steps=4, cfg_scale=2.0, sampler_type="spaced", seed=9,
+        control_interval=2, turbo_encoder=True,
+    )
+    assert out.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(out.astype(np.float32)))
