@@ -153,10 +153,12 @@ class Pipeline:
 
             if control_interval > 1 and not cldm_tiled:
                 # turbo: recompute ControlNet residuals every k-th step only
-                if sampler_type not in ("spaced", "ddim", "edm_dpm++_3m_sde"):
+                turbo_ok = ("spaced", "ddim", "edm_dpm++_3m_sde",
+                            "edm_dpm++_2m_sde", "edm_euler_a")
+                if sampler_type not in turbo_ok:
                     raise ValueError(
                         "control_interval > 1 requires a stateful-scan sampler "
-                        "(spaced, ddim or edm_dpm++_3m_sde)"
+                        f"(one of {', '.join(turbo_ok)})"
                     )
                 model_fn = cldm.make_cached_control_model(
                     params, strength, control_interval, (h1, w1),

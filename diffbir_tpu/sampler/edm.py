@@ -190,26 +190,35 @@ class EDMSampler(Sampler):
 
     @staticmethod
     def _scan_denoiser(model_fn, cond, uncond, use_cfg, bs):
-        """Returns denoise(x, row) with the per-step scalars traced from the
-        scan tables (batched CFG in one model call)."""
+        """Returns (denoise, aux0) where denoise(x, row, aux) -> (out, aux)
+        with the per-step scalars traced from the scan tables (batched CFG in
+        one model call).  Stateful models (``has_aux`` protocol, e.g. the
+        turbo interval-cached ControlNet) thread ``aux`` through the scan
+        carry; for plain models aux is just ``None``."""
+        has_aux = getattr(model_fn, "has_aux", False)
+        aux0 = model_fn.init_aux() if has_aux else None
 
-        def denoise(x, row):
+        def denoise(x, row, aux):
             t_vec = jnp.full((bs,), row["t_model"], jnp.float32)
 
-            def call(xx, tt, cc):
-                return model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc) \
-                    * row["c_out"] + xx * row["c_skip"]
+            def call(xx, tt, cc, aux):
+                if has_aux:
+                    raw, aux = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc, aux)
+                else:
+                    raw = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc)
+                return raw * row["c_out"] + xx * row["c_skip"], aux
 
             if use_cfg:
                 x2 = jnp.concatenate([x, x], axis=0)
                 t2 = jnp.concatenate([t_vec, t_vec], axis=0)
                 c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
-                out = call(x2, t2, c2)
+                out, aux = call(x2, t2, c2, aux)
                 o_c, o_u = jnp.split(out, 2, axis=0)
-                return (o_u + row["cfg"] * (o_c - o_u)).astype(x.dtype)
-            return call(x, t_vec, cond).astype(x.dtype)
+                return (o_u + row["cfg"] * (o_c - o_u)).astype(x.dtype), aux
+            out, aux = call(x, t_vec, cond, aux)
+            return out.astype(x.dtype), aux
 
-        return denoise
+        return denoise, aux0
 
     def _sample_2m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
@@ -237,18 +246,19 @@ class EDMSampler(Sampler):
                 rows["noise"][i] = sigmas[i + 1] * np.sqrt(-np.expm1(-2 * eta_h)) * s_noise
             h_last = h
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        denoise = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+        denoise, aux0 = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
 
         def body(carry, row):
-            x, old, key = carry
+            x, old, key, aux = carry
             key, k_noise = jax.random.split(key)
-            denoised = denoise(x, row)
+            denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - old)
             x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
-            return (x_new, denoised, key), None
+            return (x_new, denoised, key, aux), None
 
-        (x, _, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x), rng), tables)
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x), rng, aux0), tables)
         return x
 
     def _sample_euler_a_scan(
@@ -268,17 +278,17 @@ class EDMSampler(Sampler):
             if sigmas[i + 1] > 0:
                 rows["noise"][i] = self.s_noise * su
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        denoise = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+        denoise, aux0 = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
 
         def body(carry, row):
-            x, key = carry
+            x, key, aux = carry
             key, k_noise = jax.random.split(key)
-            denoised = denoise(x, row)
+            denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
-            return (x_new, key), None
+            return (x_new, key, aux), None
 
-        (x, _), _ = jax.lax.scan(body, (x, rng), tables)
+        (x, _, _), _ = jax.lax.scan(body, (x, rng, aux0), tables)
         return x
 
     # ------------------------------------------------------------------ #

@@ -88,7 +88,7 @@ def parse_args() -> Namespace:
     p.add_argument("--control_interval", type=int, default=1,
                    help="turbo: recompute ControlNet residuals every k steps "
                         "(k>1 trades a little fidelity for speed; spaced/ddim/"
-                        "edm_dpm++_3m_sde samplers)")
+                        "edm_dpm++_3m_sde/edm_dpm++_2m_sde/edm_euler_a samplers)")
     p.add_argument("--batch_size", type=int, default=1)
     # guidance
     p.add_argument("--guidance", action="store_true")

@@ -110,11 +110,13 @@ def test_turbo_control_interval(tiny_pipe):
     # outputs stay finite and close in scale
     assert np.all(np.isfinite(turbo.astype(np.float32)))
 
-    # ddim + turbo also runs
-    turbo_ddim = tiny_pipe.run(
-        lq, steps=4, cfg_scale=2.0, sampler_type="ddim", seed=9, control_interval=2
-    )
-    assert turbo_ddim.shape == base.shape
+    # the other stateful-scan samplers + turbo also run
+    for s in ("ddim", "edm_dpm++_2m_sde", "edm_euler_a"):
+        turbo_s = tiny_pipe.run(
+            lq, steps=4, cfg_scale=2.0, sampler_type=s, seed=9, control_interval=2
+        )
+        assert turbo_s.shape == base.shape
+        assert np.all(np.isfinite(turbo_s.astype(np.float32)))
 
 
 def test_turbo_encoder_caching(tiny_pipe):
