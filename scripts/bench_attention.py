@@ -4,6 +4,11 @@ Shapes = SD2.1 UNet at 512x512 (latent 64x64): self-attn 4096/1024/256 tokens
 and cross-attn to 77 text tokens, across the channel widths used per level.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -1,5 +1,10 @@
 """Phase-level timing of the 512x512 50-step BSR pipeline on one chip."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -8,6 +8,11 @@ Measured (v5e, 512x512, 50-step spaced, CFG 4.0, bf16):
   interval 5 + turbo_encoder            : 0.869 s/image
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

@@ -10,6 +10,11 @@ Usage:
       --checkpoint_path out.pth [--half]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 import sys

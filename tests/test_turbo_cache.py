@@ -1,0 +1,108 @@
+"""Turbo interval-cached ControlNet (has_aux protocol) at the sampler level.
+
+Invariant: with ``interval=1`` every step refreshes the cache, so the cached
+model must match the plain model BIT-EXACTLY through any stateful-scan
+sampler (spaced / ddim / edm 3m_sde / 2m_sde / euler_a) — including with
+``cache_unet_encoder=True`` (encoder propagation, arXiv:2312.09608).
+With ``interval>1`` the trajectory must change (proves the cache is actually
+reused) while staying finite.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.sampler import DDIMSampler, SpacedSampler
+from diffbir_tpu.sampler.edm import EDMSampler
+from diffbir_tpu.schedule import Schedule
+
+X_SHAPE = (1, 8, 8, 4)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    params = jax.tree_util.tree_map(lambda a: a + 0.01, params)
+    schedule = Schedule.create(timesteps=100, parameterization="eps")
+    cond = {
+        "c_txt": jnp.ones((1, 77, 64)) * 0.1,
+        "c_img": jnp.ones((1, 8, 8, 4)) * 0.2,
+    }
+    uncond = {
+        "c_txt": jnp.zeros((1, 77, 64)),
+        "c_img": cond["c_img"],
+    }
+
+    def plain_fn(x, t, c):
+        return cldm(params, x, t, c)
+
+    return cldm, params, schedule, plain_fn, cond, uncond
+
+
+def _samplers(schedule):
+    return {
+        "spaced": SpacedSampler(schedule.betas, "eps", rescale_cfg=False),
+        "ddim": DDIMSampler(schedule.betas, "eps", rescale_cfg=False, eta=0.0),
+        "edm_dpm++_3m_sde": EDMSampler(
+            schedule.betas, "eps", rescale_cfg=False, solver_type="edm_dpm++_3m_sde"
+        ),
+        "edm_dpm++_2m_sde": EDMSampler(
+            schedule.betas, "eps", rescale_cfg=False, solver_type="edm_dpm++_2m_sde"
+        ),
+        "edm_euler_a": EDMSampler(
+            schedule.betas, "eps", rescale_cfg=False, solver_type="edm_euler_a"
+        ),
+    }
+
+
+def _sample(sampler, model_fn, cond, uncond, steps=4, cfg=2.0):
+    x_T = jax.random.normal(jax.random.PRNGKey(5), X_SHAPE)
+    out = sampler.sample(
+        model_fn, x_T, cond, uncond, cfg, steps, jax.random.PRNGKey(6)
+    )
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["spaced", "ddim", "edm_dpm++_3m_sde", "edm_dpm++_2m_sde", "edm_euler_a"],
+)
+def test_interval1_bitexact(setup, name):
+    cldm, params, schedule, plain_fn, cond, uncond = setup
+    sampler = _samplers(schedule)[name]
+    base = _sample(sampler, plain_fn, cond, uncond)
+    cached = cldm.make_cached_control_model(
+        params, 1.0, interval=1, latent_hw=(8, 8), call_batch=2
+    )
+    out = _sample(sampler, cached, cond, uncond)
+    np.testing.assert_array_equal(base, out)
+
+
+@pytest.mark.parametrize("name", ["spaced", "edm_dpm++_2m_sde", "edm_euler_a"])
+def test_interval1_encoder_prop_bitexact(setup, name):
+    cldm, params, schedule, plain_fn, cond, uncond = setup
+    sampler = _samplers(schedule)[name]
+    base = _sample(sampler, plain_fn, cond, uncond)
+    cached = cldm.make_cached_control_model(
+        params, 1.0, interval=1, latent_hw=(8, 8), call_batch=2,
+        cache_unet_encoder=True,
+    )
+    out = _sample(sampler, cached, cond, uncond)
+    np.testing.assert_array_equal(base, out)
+
+
+@pytest.mark.parametrize("name", ["edm_dpm++_2m_sde", "edm_euler_a"])
+def test_interval2_changes_trajectory(setup, name):
+    cldm, params, schedule, plain_fn, cond, uncond = setup
+    sampler = _samplers(schedule)[name]
+    base = _sample(sampler, plain_fn, cond, uncond)
+    cached = cldm.make_cached_control_model(
+        params, 1.0, interval=2, latent_hw=(8, 8), call_batch=2
+    )
+    out = _sample(sampler, cached, cond, uncond)
+    assert np.all(np.isfinite(out))
+    assert np.any(out != base)  # cache actually reused on odd steps
