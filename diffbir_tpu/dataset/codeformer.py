@@ -93,32 +93,16 @@ class CodeformerDataset:
         prompt = meta.get("prompt", "")
         if self._rng.uniform() < self.p_empty_prompt:
             prompt = ""
+        return {**self._degrade(img_gt), "prompt": prompt}
 
-        gt = (img_gt / 255.0).astype(np.float32)  # RGB [0,1]
-        h, w, _ = gt.shape
-        rng = self._rng
-        kernel = random_mixed_kernels(
-            rng, self.kernel_list, self.kernel_prob, self.blur_kernel_size,
-            tuple(self.blur_sigma), tuple(self.blur_sigma), (-math.pi, math.pi),
-        )
-        lq = cv2.filter2D(gt, -1, kernel)
-        scale = rng.uniform(*self.downsample_range)
-        lq = cv2.resize(lq, (int(w // scale), int(h // scale)), interpolation=cv2.INTER_LINEAR)
-        if self.noise_range is not None:
-            sigma = rng.uniform(*self.noise_range)
-            lq = add_gaussian_noise_np(rng, lq, sigma)
-        if self.jpeg_range is not None:
-            q = rng.integers(self.jpeg_range[0], self.jpeg_range[1])
-            lq = jpeg_compress_np(lq, int(q))
-        lq = cv2.resize(lq, (w, h), interpolation=cv2.INTER_LINEAR)
-
-        return {
-            "gt": (gt * 2 - 1).astype(np.float32),   # [-1, 1]
-            "lq": np.clip(lq, 0, 1).astype(np.float32),  # [0, 1]
-            "prompt": prompt,
-        }
-
-    def as_iterator(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+    def as_iterator(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                    native: bool = False, num_threads: int = 4):
+        """``native=True`` moves decode+crop into the C++ worker pool
+        (native/dataloader; only for on-disk files with center/random crop);
+        the degradation synthesis stays in numpy/cv2 on the host."""
+        if native:
+            yield from self._as_native_iterator(batch_size, seed, num_threads)
+            return
         order_rng = np.random.default_rng(seed)
         while True:
             idx = np.arange(len(self))
@@ -131,3 +115,54 @@ class CodeformerDataset:
                     "lq": np.stack([it["lq"] for it in items]),
                     "prompt": [it["prompt"] for it in items],
                 }
+
+    def _degrade(self, img_gt: np.ndarray) -> Dict[str, np.ndarray]:
+        """Two-stage synthetic degradation on one decoded uint8 RGB image."""
+        gt = (img_gt / 255.0).astype(np.float32)
+        h, w, _ = gt.shape
+        rng = self._rng
+        kernel = random_mixed_kernels(
+            rng, self.kernel_list, self.kernel_prob, self.blur_kernel_size,
+            tuple(self.blur_sigma), tuple(self.blur_sigma), (-math.pi, math.pi),
+        )
+        lq = cv2.filter2D(gt, -1, kernel)
+        scale = rng.uniform(*self.downsample_range)
+        lq = cv2.resize(lq, (int(w // scale), int(h // scale)),
+                        interpolation=cv2.INTER_LINEAR)
+        if self.noise_range is not None:
+            sigma = rng.uniform(*self.noise_range)
+            lq = add_gaussian_noise_np(rng, lq, sigma)
+        if self.jpeg_range is not None:
+            q = rng.integers(self.jpeg_range[0], self.jpeg_range[1])
+            lq = jpeg_compress_np(lq, int(q))
+        lq = cv2.resize(lq, (w, h), interpolation=cv2.INTER_LINEAR)
+        return {
+            "gt": (gt * 2 - 1).astype(np.float32),
+            "lq": np.clip(lq, 0, 1).astype(np.float32),
+        }
+
+    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int):
+        from .native_loader import NativeImageLoader
+
+        if self.crop_type == "none":
+            raise ValueError("native loader needs center/random crop_type")
+        paths = [m["image_path"] for m in self.image_files]
+        loader = NativeImageLoader(
+            paths, batch_size, self.out_size,
+            crop="center" if self.crop_type == "center" else "random_zoom",
+            hflip=False, rot90=False, num_threads=num_threads, seed=seed,
+        )
+        while True:
+            imgs, idx = loader.next_with_idx()
+            items = [self._degrade(img) for img in imgs]
+            prompts = [
+                ""
+                if self._rng.uniform() < self.p_empty_prompt
+                else self.image_files[int(j)].get("prompt", "")
+                for j in idx
+            ]
+            yield {
+                "gt": np.stack([it["gt"] for it in items]),
+                "lq": np.stack([it["lq"] for it in items]),
+                "prompt": prompts,
+            }

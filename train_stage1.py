@@ -77,7 +77,16 @@ def main():
     except ImportError:
         writer = None
 
-    it = ds.as_iterator(bs, seed=tcfg.get("seed", 231))
+    native = bool(tcfg.get("native_loader", False))
+    if native:
+        from diffbir_tpu.dataset.native_loader import native_available
+
+        native = native_available()
+        print(f"native C++ data loader: {'on' if native else 'unavailable, python fallback'}")
+    if native:
+        it = ds.as_iterator(bs, seed=tcfg.get("seed", 231), native=True)
+    else:
+        it = ds.as_iterator(bs, seed=tcfg.get("seed", 231))
     step = int(state.step)
     t0 = time.time()
     while step < tcfg["train_steps"]:
