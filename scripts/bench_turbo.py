@@ -1,11 +1,11 @@
 """Benchmark turbo modes on one chip (vs the exact-parity baseline).
 
 Measured (v5e, 512x512, 50-step spaced, CFG 4.0, bf16):
-  baseline (interval 1)                 : 1.387 s/image
-  control_interval 3                    : 1.170 s/image
-  control_interval 5                    : 1.131 s/image
-  interval 3 + turbo_encoder            : 0.967 s/image
-  interval 5 + turbo_encoder            : 0.869 s/image
+  baseline (interval 1)                 : 1.375 s/image
+  control_interval 3                    : 1.163 s/image
+  control_interval 5                    : 1.132 s/image
+  interval 3 + turbo_encoder            : 0.950 s/image
+  interval 5 + turbo_encoder            : 0.884 s/image
 """
 
 import os
