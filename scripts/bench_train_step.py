@@ -7,6 +7,11 @@ stage with accelerate DDP on A100s (train_stage2.py); here one step =
 vae_encode(gt) -> ControlNet+UNet fwd/bwd -> AdamW update, all inside one
 jit.
 
+Measured (v5e, bf16 frozen stack, fp32 ControlNet+AdamW, donated state):
+  batch 4, 512x512, remat -> 0.454 s/step = 8.82 images/s/chip.
+Without donate_argnums the old+new TrainState are both live and batch 4
+OOMs on 16 GB.
+
 Usage: python scripts/bench_train_step.py [--batch 4] [--remat]
 """
 
@@ -49,7 +54,10 @@ def main():
     }
     opt = make_optimizer(learning_rate=1e-5)
     state = init_train_state(params, opt)
-    step = jax.jit(make_train_step(cldm, schedule, opt, noise_aug_timestep=200))
+    # donate the state: without this the old and new TrainState (params +
+    # AdamW moments, ~6 GB) are both live across the update -> OOM on 16 GB
+    step = jax.jit(make_train_step(cldm, schedule, opt, noise_aug_timestep=200),
+                   donate_argnums=(0,))
 
     b = args.batch
     batch = {

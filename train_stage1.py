@@ -67,7 +67,8 @@ def main():
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
     state = jax.device_put(state, rep)
-    train_step = jax.jit(stage1.make_train_step(model.apply, optimizer))
+    train_step = jax.jit(stage1.make_train_step(model.apply, optimizer),
+                         donate_argnums=(0,))
     val_step = jax.jit(stage1.make_val_step(model.apply))
 
     try:

@@ -86,11 +86,14 @@ def main():
     # ---- training state ----
     optimizer = stage2.make_optimizer(float(tcfg["learning_rate"]))
     state = stage2.init_train_state(params, optimizer)
+    # donate the state: otherwise old+new TrainState (params + AdamW
+    # moments, ~6 GB at SD2.1 scale) are both live across the update
     train_step = jax.jit(
         stage2.make_train_step(
             cldm, schedule, optimizer, cleaner_apply,
             noise_aug_timestep=int(tcfg.get("noise_aug_timestep", 0)),
-        )
+        ),
+        donate_argnums=(0,),
     )
     ckpt_mgr = ocp.CheckpointManager(
         os.path.abspath(os.path.join(tcfg["exp_dir"], "checkpoints")),
