@@ -148,36 +148,24 @@ class RealESRGANDataset:
             img = self._load_hq(meta["image_path"])
             if img is None:
                 index = random.randint(0, len(self) - 1)
-        if "short_prompt" in meta:
-            prompt = (
-                meta["long_prompt"]
-                if self._rng.uniform() < self.p_long_prompt
-                else meta["short_prompt"]
-            )
-        else:
-            prompt = meta.get("prompt", "")
-        if self._rng.uniform() < self.p_empty_prompt:
-            prompt = ""
-
+        prompt = self._prompt_for(meta)
         hq = (img / 255.0).astype(np.float32)
         hq = augment(hq, self.use_hflip, self.use_rot)
-
-        if self._rng.uniform() < self.cfg["final_sinc_prob"]:
-            ksize = random.choice(self.kernel_range)
-            omega = self._rng.uniform(np.pi / 3, np.pi)
-            sinc = circular_lowpass_kernel(omega, ksize, pad_to=21).astype(np.float32)
-        else:
-            sinc = self.pulse
-
         return {
             "hq": hq,  # [0,1] HWC rgb
             "kernel1": self._sample_kernel(1),
             "kernel2": self._sample_kernel(2),
-            "sinc_kernel": sinc,
+            "sinc_kernel": self._sample_sinc(),
             "txt": prompt,
         }
 
-    def as_iterator(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+    def as_iterator(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                    native: bool = False, num_threads: int = 4):
+        """``native=True`` moves decode+crop+hflip/rot into the C++ worker
+        pool (native/dataloader); kernel synthesis stays in numpy."""
+        if native:
+            yield from self._as_native_iterator(batch_size, seed, num_threads)
+            return
         order_rng = np.random.default_rng(seed)
         while True:
             idx = np.arange(len(self))
@@ -192,3 +180,43 @@ class RealESRGANDataset:
                     "sinc_kernel": np.stack([it["sinc_kernel"] for it in items]),
                     "txt": [it["txt"] for it in items],
                 }
+
+    def _prompt_for(self, meta) -> str:
+        if "short_prompt" in meta:
+            prompt = (
+                meta["long_prompt"]
+                if self._rng.uniform() < self.p_long_prompt
+                else meta["short_prompt"]
+            )
+        else:
+            prompt = meta.get("prompt", "")
+        return "" if self._rng.uniform() < self.p_empty_prompt else prompt
+
+    def _sample_sinc(self) -> np.ndarray:
+        if self._rng.uniform() < self.cfg["final_sinc_prob"]:
+            ksize = random.choice(self.kernel_range)
+            omega = self._rng.uniform(np.pi / 3, np.pi)
+            return circular_lowpass_kernel(omega, ksize, pad_to=21).astype(np.float32)
+        return self.pulse
+
+    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int):
+        from .native_loader import NativeImageLoader
+
+        if self.crop_type == "none":
+            raise ValueError("native loader needs center/random crop_type")
+        paths = [m["image_path"] for m in self.image_files]
+        loader = NativeImageLoader(
+            paths, batch_size, self.out_size,
+            crop="center" if self.crop_type == "center" else "random_zoom",
+            hflip=self.use_hflip, rot90=self.use_rot,
+            num_threads=num_threads, seed=seed,
+        )
+        while True:
+            imgs, idx = loader.next_with_idx()
+            yield {
+                "hq": imgs.astype(np.float32) / 255.0,
+                "kernel1": np.stack([self._sample_kernel(1) for _ in idx]),
+                "kernel2": np.stack([self._sample_kernel(2) for _ in idx]),
+                "sinc_kernel": np.stack([self._sample_sinc() for _ in idx]),
+                "txt": [self._prompt_for(self.image_files[int(j)]) for j in idx],
+            }

@@ -99,6 +99,25 @@ def test_codeformer_native_iterator(image_dir, tmp_path):
         assert batch["prompt"] == ["a photo", "a photo"]
 
 
+def test_realesrgan_native_iterator(image_dir, tmp_path):
+    from diffbir_tpu.dataset.realesrgan import RealESRGANDataset
+
+    flist = tmp_path / "list2.txt"
+    flist.write_text("\n".join(f"{p}\ta photo" for p in image_dir))
+    ds = RealESRGANDataset(
+        file_list=str(flist), out_size=48, crop_type="random",
+        use_hflip=True, use_rot=False, p_empty_prompt=0.0,
+    )
+    it = ds.as_iterator(2, seed=3, native=True)
+    batch = next(it)
+    assert batch["hq"].shape == (2, 48, 48, 3)
+    assert 0.0 <= batch["hq"].min() and batch["hq"].max() <= 1.0
+    assert batch["kernel1"].shape == (2, 21, 21)
+    assert batch["kernel2"].shape == (2, 21, 21)
+    assert batch["sinc_kernel"].shape == (2, 21, 21)
+    assert batch["txt"] == ["a photo", "a photo"]
+
+
 def test_unreadable_file_yields_zeros(tmp_path, image_dir):
     bad = tmp_path / "broken.jpg"
     bad.write_bytes(b"not an image")

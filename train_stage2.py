@@ -112,7 +112,15 @@ def main():
 
     ds = cfglib.instantiate(cfg["dataset"]["train"])
     bt = cfglib.instantiate(cfg["batch_transform"])
-    it = PrefetchIterator(ds.as_iterator(bs, seed=tcfg.get("seed", 231)), transform=bt)
+    native = bool(tcfg.get("native_loader", False))
+    if native:
+        from diffbir_tpu.dataset.native_loader import native_available
+
+        native = native_available()
+        print(f"native C++ data loader: {'on' if native else 'unavailable, python fallback'}")
+    src = (ds.as_iterator(bs, seed=tcfg.get("seed", 231), native=True)
+           if native else ds.as_iterator(bs, seed=tcfg.get("seed", 231)))
+    it = PrefetchIterator(src, transform=bt)
 
     try:
         from tensorboardX import SummaryWriter
