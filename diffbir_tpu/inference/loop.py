@@ -173,6 +173,7 @@ class InferenceLoop:
                 cldm_tiled=getattr(self.args, "cldm_tiled", False),
                 cldm_tile_size=getattr(self.args, "cldm_tile_size", 512),
                 cldm_tile_stride=getattr(self.args, "cldm_tile_stride", 256),
+                cldm_tiles_per_batch=getattr(self.args, "cldm_tiles_per_batch", 1),
                 control_interval=getattr(self.args, "control_interval", 1),
                 turbo_encoder=getattr(self.args, "turbo_encoder", False),
                 # advance the seed per chunk so n_samples > batch_size yields

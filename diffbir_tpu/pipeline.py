@@ -105,7 +105,7 @@ class Pipeline:
          h_img, w_img, bs,
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
          vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
-         control_interval, turbo_encoder) = key
+         cldm_tiles_per_batch, control_interval, turbo_encoder) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -188,7 +188,10 @@ class Pipeline:
                     )
 
                 model_tile.tile_kwargs = ("tile_coords",)
-                tiled_call = make_tiled_fn(model_tile, lat_ts, lat_st, channel=4)
+                tiled_call = make_tiled_fn(
+                    model_tile, lat_ts, lat_st, channel=4,
+                    tiles_per_batch=cldm_tiles_per_batch,
+                )
 
                 def model_fn(x, t, c):
                     return tiled_call(x, t, c)
@@ -242,6 +245,7 @@ class Pipeline:
         cldm_tiled: bool = False,
         cldm_tile_size: int = 512,
         cldm_tile_stride: int = 256,
+        cldm_tiles_per_batch: int = 1,
         control_interval: int = 1,
         turbo_encoder: bool = False,
     ) -> jax.Array:
@@ -280,6 +284,7 @@ class Pipeline:
             bool(vae_decoder_tiled), int(vae_decoder_tile_size),
             str(vae_tile_mode),
             bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
+            int(cldm_tiles_per_batch),
             int(control_interval), bool(turbo_encoder),
         )
         fn = self._generate_fn(key)

@@ -95,6 +95,11 @@ def make_tiled_fn(
         accepts_coords = "tile_coords" in getattr(fn, "tile_kwargs", ())
         for i in range(0, len(coords), tiles_per_batch):
             chunk = coords[i: i + tiles_per_batch]
+            n_real = len(chunk)
+            if tiles_per_batch > 1 and n_real < tiles_per_batch:
+                # pad the last chunk (repeat a coord) so every chunk has the
+                # same batch shape -> the model body appears ONCE in the HLO
+                chunk = chunk + [chunk[-1]] * (tiles_per_batch - n_real)
             tiles = jnp.concatenate(
                 [x[:, hi: hi + size, wi: wi + size, :] for hi, wi in chunk], axis=0
             )
@@ -103,7 +108,7 @@ def make_tiled_fn(
             else:
                 res = fn(tiles, *args, **kwargs)
             res = res.astype(jnp.float32) * wmask_j
-            for j, (hi, wi) in enumerate(chunk):
+            for j, (hi, wi) in enumerate(chunk[:n_real]):
                 out = out.at[
                     :, sfn(hi): sfn(hi) + osize, sfn(wi): sfn(wi) + osize, :
                 ].add(res[j * b: (j + 1) * b])

@@ -67,6 +67,9 @@ def parse_args() -> Namespace:
     p.add_argument("--cldm_tiled", action="store_true")
     p.add_argument("--cldm_tile_size", type=int, default=512)
     p.add_argument("--cldm_tile_stride", type=int, default=256)
+    p.add_argument("--cldm_tiles_per_batch", type=int, default=1,
+                   help="diffusion tiles batched per model call (MXU "
+                        "utilization knob for the tiled path)")
     p.add_argument("--captioner", type=str, default="none",
                    choices=["none", "llava", "ram"])
     p.add_argument("--pos_prompt", type=str, default=DEFAULT_POS_PROMPT)

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--size", type=int, default=1024, help="output H=W (pre-upscaled input)")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--sampler", default="edm_dpm++_3m_sde")
+    ap.add_argument("--tiles_per_batch", type=int, default=1)
     args = ap.parse_args()
 
     bf = lambda t: jax.tree_util.tree_map(  # noqa: E731
@@ -59,6 +60,7 @@ def main():
         steps=args.steps, cfg_scale=4.0, sampler_type=args.sampler, seed=231,
         cleaner_tiled=True, cleaner_tile_size=512, cleaner_tile_stride=256,
         cldm_tiled=True, cldm_tile_size=512, cldm_tile_stride=256,
+        cldm_tiles_per_batch=args.tiles_per_batch,
         vae_encoder_tiled=True, vae_encoder_tile_size=256,
         vae_decoder_tiled=True, vae_decoder_tile_size=256,
     )
@@ -77,6 +79,7 @@ def main():
         "metric": f"{args.size}x{args.size} {args.steps}-step fully-tiled restoration",
         "value": round(float(np.median(times)), 3),
         "unit": "s/image",
+        "tiles_per_batch": args.tiles_per_batch,
     }))
 
 

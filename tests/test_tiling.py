@@ -96,6 +96,18 @@ def test_tiled_diffusion_e2e():
     )
     assert out.shape == (1, 128, 128, 3)
 
+    # batching tiles through the model (tiles_per_batch>1, incl. a padded
+    # last chunk: 9 tiles / 4) must not change the result
+    out2 = pipe.run(
+        lq, steps=2, cfg_scale=1.0, sampler_type="spaced",
+        cldm_tiled=True, cldm_tile_size=64, cldm_tile_stride=32,
+        cldm_tiles_per_batch=4,
+        vae_decoder_tiled=True, vae_decoder_tile_size=64,
+    )
+    np.testing.assert_allclose(
+        out2.astype(np.float32), out.astype(np.float32), atol=1
+    )
+
 
 def test_cross_batch_groupnorm_exact():
     """GN over tile-batch == GN over the stitched image (no halo): exact."""
