@@ -63,6 +63,13 @@ class BatchingServer:
     def submit(self, image, steps, cfg_scale, pos, neg, sampler, seed):
         if max(image.shape[:2]) > self.max_size:
             raise ValueError(f"input larger than {self.max_size} not allowed")
+        h0, w0 = image.shape[:2]
+        # pad to the size bucket HERE so different request sizes in the same
+        # bucket share one device batch (and one compiled program)
+        b = self.size_bucket
+        ph, pw = (b - h0 % b) % b, (b - w0 % b) % b
+        if ph or pw:
+            image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
         key = (image.shape[0], image.shape[1], int(steps), float(cfg_scale),
                str(pos), str(neg), str(sampler))
         req = _Request(image, key, int(seed))
@@ -70,7 +77,8 @@ class BatchingServer:
         req.event.wait()
         if req.error is not None:
             raise req.error
-        return req.result
+        # x1 pipeline (input pre-upscaled by the handler) -> same-size crop
+        return req.result[:h0, :w0]
 
     # ------------------------------------------------------------------ #
     def _collect(self):

@@ -62,9 +62,9 @@ def test_same_key_requests_batch_together():
 
 def test_different_shapes_never_share_a_batch():
     pipe = StubPipeline()
-    srv = BatchingServer(pipe, batch=4, max_wait_ms=100)
+    srv = BatchingServer(pipe, batch=4, max_wait_ms=100, size_bucket=16)
     a = np.zeros((32, 32, 3), np.uint8)
-    b = np.zeros((48, 32, 3), np.uint8)
+    b = np.zeros((48, 32, 3), np.uint8)   # different 16px bucket than a
     jobs = [_submit_async(srv, a), _submit_async(srv, b),
             _submit_async(srv, a), _submit_async(srv, b)]
     for t, _ in jobs:
@@ -73,6 +73,22 @@ def test_different_shapes_never_share_a_batch():
     assert jobs[0][1]["result"].shape == (32, 32, 3)
     assert jobs[1][1]["result"].shape == (48, 32, 3)
     assert sum(pipe.batches) == 4
+
+
+def test_same_bucket_different_sizes_batch_together():
+    """30x30 and 25x32 both pad to the 32px bucket -> one device batch,
+    results cropped back to each request's own size."""
+    pipe = StubPipeline(delay=0.05)
+    srv = BatchingServer(pipe, batch=2, max_wait_ms=500, size_bucket=32)
+    a = np.full((30, 30, 3), 7, np.uint8)
+    b = np.full((25, 32, 3), 9, np.uint8)
+    ja, jb = _submit_async(srv, a), _submit_async(srv, b)
+    ja[0].join(timeout=10), jb[0].join(timeout=10)
+    assert ja[1]["result"].shape == (30, 30, 3)
+    assert jb[1]["result"].shape == (25, 32, 3)
+    np.testing.assert_array_equal(ja[1]["result"], a)
+    np.testing.assert_array_equal(jb[1]["result"], b)
+    assert 2 in pipe.batches  # they actually shared a batch
 
 
 def test_oversize_rejected():
