@@ -62,6 +62,31 @@ def test_tiled_scale_up():
     np.testing.assert_allclose(np.asarray(out), np.asarray(up2(x)), atol=1e-5)
 
 
+def test_scan_tile_loop_matches_unrolled():
+    """>SCAN_THRESHOLD tiles switch to the lax.scan loop; result must match
+    the unrolled path exactly (same coords, same accumulation order)."""
+    import diffbir_tpu.tiling as tiling
+
+    def up2(x):
+        return jnp.repeat(jnp.repeat(x * 2.0, 2, 1), 2, 2)
+
+    f_id = make_tiled_fn(up2, size=8, stride=4, scale_type="up", scale=2)
+    x = jnp.asarray(np.random.default_rng(7).random((1, 64, 56, 3)), jnp.float32)
+    # 64x56 with 8/4 -> 15*13 = 195 tiles > SCAN_THRESHOLD -> scan path
+    assert len(tiling.sliding_windows(64, 56, 8, 4)) > tiling.SCAN_THRESHOLD
+    out_scan = f_id(x)
+    old = tiling.SCAN_THRESHOLD
+    tiling.SCAN_THRESHOLD = 10**9  # force the unrolled path
+    try:
+        out_unrolled = f_id(x)
+    finally:
+        tiling.SCAN_THRESHOLD = old
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_unrolled), atol=1e-6
+    )
+    assert out_scan.shape == (1, 128, 112, 3)
+
+
 def test_tiled_vae_consistency():
     from diffbir_tpu.models.cldm import ControlLDM
 
