@@ -35,7 +35,16 @@ def make_mesh(
     n = len(devices)
     if n_data is None:
         n_data = n // n_tensor
-    assert n_data * n_tensor == n, f"{n_data}x{n_tensor} != {n} devices"
+    if n_data * n_tensor != n:
+        plats = sorted({d.platform for d in devices})
+        raise ValueError(
+            f"make_mesh: need n_data*n_tensor == len(devices) but got "
+            f"{n_data}x{n_tensor} != {n} (platforms={plats}). For a virtual "
+            f"multi-device run set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=<n> BEFORE jax backend "
+            f"init (the axon plugin ignores JAX_PLATFORMS; use "
+            f"jax.config.update('jax_platforms', 'cpu'))."
+        )
     arr = np.array(devices).reshape(n_data, n_tensor)
     return Mesh(arr, axis_names=("data", "tensor"))
 
