@@ -116,19 +116,43 @@ class Pipeline:
         cldm, schedule = self.cldm, self.schedule
         use_cfg = cfg_scale != 1.0
         cond_fn = self.cond_fn
+        if cond_fn is not None and not (
+            sampler_type in ("spaced", "ddim") or sampler_type.startswith("edm")
+        ):
+            raise ValueError(
+                f"restoration guidance is not supported with sampler "
+                f"{sampler_type!r}; use spaced, ddim, or an edm_* sampler"
+            )
+
+        # sync_gn VAE tiling supports batch 1 only; fall back to blend else
+        enc_tile_mode = vae_tile_mode if bs == 1 else "blend"
 
         def generate(params, cond_img, pos_tok, neg_tok, rng):
             h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
             cond = cldm.prepare_condition(
-                params, cond_img, pos_tok, tiled=vae_enc_tiled, tile_size=vae_enc_tile
+                params, cond_img, pos_tok, tiled=vae_enc_tiled,
+                tile_size=vae_enc_tile, tile_mode=enc_tile_mode,
             )
             uncond = (
                 cldm.prepare_condition(
-                    params, cond_img, neg_tok, tiled=vae_enc_tiled, tile_size=vae_enc_tile
+                    params, cond_img, neg_tok, tiled=vae_enc_tiled,
+                    tile_size=vae_enc_tile, tile_mode=enc_tile_mode,
                 )
                 if use_cfg
                 else None
             )
+            if not cldm_tiled:
+                # Untiled UNet needs latent dims divisible by 8 (3 downsamples);
+                # pad the latent and crop z back afterwards (reference
+                # pipeline.py:136-139, :218). No-op when cond_img was padded
+                # to x64 already.
+                cond = {**cond, "c_img": pad_to_multiples_of(cond["c_img"], 8)}
+                if uncond is not None:
+                    uncond = {
+                        **uncond, "c_img": pad_to_multiples_of(uncond["c_img"], 8)
+                    }
+            h2, w2 = cond["c_img"].shape[1:3]
+            clean_c_img = cond["c_img"]  # guidance target: BEFORE noise aug
             rng, k_start, k_aug, k_sample = jax.random.split(rng, 4)
             if start_point_type == "cond":
                 x_0 = cond["c_img"]
@@ -137,7 +161,7 @@ class Pipeline:
                     x_0, t_last, jax.random.normal(k_start, x_0.shape, jnp.float32)
                 )
             else:
-                x_T = jax.random.normal(k_start, (bs, h1, w1, 4), jnp.float32)
+                x_T = jax.random.normal(k_start, (bs, h2, w2, 4), jnp.float32)
             if noise_aug > 0:
                 t_aug = jnp.full((bs,), noise_aug, jnp.int32)
                 c_img = schedule.q_sample(
@@ -198,15 +222,25 @@ class Pipeline:
             else:
                 model_fn = base_model_fn
 
-            g_target = None
-            if cond_fn is not None:
-                g_target = cond["c_img"]  # latent-space guidance target
             extra = {}
-            if cond_fn is not None and sampler_type == "spaced":
-                extra = dict(cond_fn=cond_fn, guidance_target=g_target)
+            if cond_fn is not None:
+                if getattr(cond_fn, "space", "latent") == "rgb":
+                    # rgb-space guidance: decode pred_x0 inside the grad
+                    # (reference cond_fn.py:20-45 loads cond_img*2-1)
+                    from .utils.cond_fn import RGBSpaceGuidance
+
+                    g_target = cond_img * 2.0 - 1.0
+                    guide = RGBSpaceGuidance(
+                        cond_fn, lambda z: cldm.vae_decode(params, z)
+                    )
+                else:
+                    g_target = clean_c_img  # latent-space target (pre-aug)
+                    guide = cond_fn
+                extra = dict(cond_fn=guide, guidance_target=g_target)
             z = sampler.sample(
                 model_fn, x_T, cond, uncond, cfg_scale, steps, k_sample, **extra
             )
+            z = z[:, :h1, :w1, :]  # drop UNet latent padding before decode
             x = cldm.vae_decode(
                 params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8,
                 tile_mode=vae_tile_mode,

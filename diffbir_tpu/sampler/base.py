@@ -65,6 +65,29 @@ def cfg_model_call_aux(
     return o_uncond + cfg_scale * (o_cond - o_uncond), aux
 
 
+def guidance_gate(cond_fn, model_ts: np.ndarray) -> np.ndarray:
+    """Host-side bool table: guidance active while t in [t_stop, t_start]."""
+    model_ts = np.asarray(model_ts)
+    return (model_ts <= cond_fn.t_start) & (model_ts >= cond_fn.t_stop)
+
+
+def apply_guidance(cond_fn, target, x0, g_on):
+    """Apply ``repeat`` rounds of gradient guidance to a pred_x0.
+
+    ``g_on`` is either a python/numpy bool (unrolled solvers — resolves at
+    trace time) or a traced bool scalar (scan tables — lax.cond).
+    """
+    def guide(v):
+        for _ in range(max(1, cond_fn.repeat)):
+            g, _loss = cond_fn(target, v)
+            v = v + g
+        return v
+
+    if isinstance(g_on, (bool, np.bool_)):
+        return guide(x0) if g_on else x0
+    return jax.lax.cond(g_on, guide, lambda v: v, x0)
+
+
 class Sampler:
     """Holds the training schedule; subclasses implement ``sample``."""
 

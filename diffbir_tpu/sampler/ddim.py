@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from ..schedule import make_ddim_params
-from .base import ModelFn, Sampler, cfg_model_call, cfg_model_call_aux
+from .base import (
+    ModelFn,
+    Sampler,
+    apply_guidance,
+    cfg_model_call,
+    cfg_model_call_aux,
+    guidance_gate,
+)
 
 
 class DDIMSampler(Sampler):
@@ -33,17 +40,24 @@ class DDIMSampler(Sampler):
         steps: int,
         rng: jax.Array,
         discretize: str = "uniform",
+        cond_fn=None,
+        guidance_target: Optional[jax.Array] = None,
     ) -> jax.Array:
         ts, alphas, alphas_prev, sigmas = make_ddim_params(
             self.training_betas, steps, self.eta, discretize
         )
         order = np.arange(len(ts))[::-1]
+        g_on = np.zeros(len(ts), np.bool_)
+        if cond_fn is not None:
+            assert guidance_target is not None, "guidance needs a target"
+            g_on = guidance_gate(cond_fn, ts[order])
         tables = {
             "model_t": ts[order].astype(np.float32),
             "a_t": alphas[order].astype(np.float32),
             "a_prev": alphas_prev[order].astype(np.float32),
             "sigma": sigmas[order].astype(np.float32),
             "cfg": self.cfg_scales(cfg_scale, ts[order]),
+            "g_on": g_on,
         }
         tables = {k: jnp.asarray(v) for k, v in tables.items()}
         bs = x_T.shape[0]
@@ -68,6 +82,12 @@ class DDIMSampler(Sampler):
             else:
                 e_t = out
             pred_x0 = (x - sqrt_oma * e_t) / sqrt_a
+            if cond_fn is not None:
+                pred_x0 = apply_guidance(
+                    cond_fn, guidance_target, pred_x0, row["g_on"]
+                )
+                # keep the ODE direction consistent with the guided x0
+                e_t = (x - sqrt_a * pred_x0) / sqrt_oma
             dir_xt = jnp.sqrt(1.0 - row["a_prev"] - row["sigma"] ** 2) * e_t
             noise = row["sigma"] * jax.random.normal(sub, x.shape, x.dtype)
             x = jnp.sqrt(row["a_prev"]) * pred_x0 + dir_xt + noise

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base import ModelFn, Sampler
+from .base import ModelFn, Sampler, apply_guidance, guidance_gate
 
 SOLVER_HPARAMS = {
     "euler": ("s_churn", "s_tmin", "s_tmax", "s_noise"),
@@ -120,11 +120,15 @@ class EDMSampler(Sampler):
         cfg_scale: float,
         steps: int,
         rng: jax.Array,
+        cond_fn=None,
+        guidance_target: Optional[jax.Array] = None,
     ) -> jax.Array:
         sigmas, ts = self.make_schedule(steps)
         bs = x_T.shape[0]
         v_param = self.parameterization == "v"
         use_cfg = uncond is not None and cfg_scale != 1.0
+        if cond_fn is not None:
+            assert guidance_target is not None, "guidance needs a target"
 
         def denoiser(x, sigma: float, rescaled_cfg: float):
             """x0-prediction denoiser (edm_sampler.py:98-137)."""
@@ -151,6 +155,17 @@ class EDMSampler(Sampler):
             o_c, o_u = jnp.split(out, 2, axis=0)
             return o_u + rescaled_cfg * (o_c - o_u)
 
+        if cond_fn is not None:
+            # guidance on the denoiser's x0 prediction; the t-window gate
+            # resolves at trace time (sigma -> model_t is host math)
+            inner_denoiser = denoiser
+
+            def denoiser(x, sigma: float, rescaled_cfg: float):
+                out = inner_denoiser(x, sigma, rescaled_cfg)
+                t_model = self._model_t(sigma, sigmas, ts)
+                g_on = bool(guidance_gate(cond_fn, np.array([t_model]))[0])
+                return apply_guidance(cond_fn, guidance_target, out, g_on)
+
         def cfg_at(sigma: float) -> float:
             t_model = self._model_t(sigma, sigmas, ts)
             return float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
@@ -166,7 +181,7 @@ class EDMSampler(Sampler):
         if self.solver_type in scan_impls:
             return scan_impls[self.solver_type](
                 model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-                v_param, use_cfg,
+                v_param, use_cfg, cond_fn=cond_fn, guidance_target=guidance_target,
             )
         solver = getattr(self, "_solve_" + self.solver_type.replace("+", "p"))
         return solver(denoiser, x, sigmas, cfg_at, rng)
@@ -189,12 +204,15 @@ class EDMSampler(Sampler):
         return rows
 
     @staticmethod
-    def _scan_denoiser(model_fn, cond, uncond, use_cfg, bs):
+    def _scan_denoiser(model_fn, cond, uncond, use_cfg, bs,
+                       cond_fn=None, guidance_target=None):
         """Returns (denoise, aux0) where denoise(x, row, aux) -> (out, aux)
         with the per-step scalars traced from the scan tables (batched CFG in
         one model call).  Stateful models (``has_aux`` protocol, e.g. the
         turbo interval-cached ControlNet) thread ``aux`` through the scan
-        carry; for plain models aux is just ``None``."""
+        carry; for plain models aux is just ``None``. With ``cond_fn``,
+        gradient guidance is applied to the x0 prediction, gated by the
+        per-row ``g_on`` flag."""
         has_aux = getattr(model_fn, "has_aux", False)
         aux0 = model_fn.init_aux() if has_aux else None
 
@@ -214,15 +232,19 @@ class EDMSampler(Sampler):
                 c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
                 out, aux = call(x2, t2, c2, aux)
                 o_c, o_u = jnp.split(out, 2, axis=0)
-                return (o_u + row["cfg"] * (o_c - o_u)).astype(x.dtype), aux
-            out, aux = call(x, t_vec, cond, aux)
-            return out.astype(x.dtype), aux
+                out = (o_u + row["cfg"] * (o_c - o_u)).astype(x.dtype)
+            else:
+                out, aux = call(x, t_vec, cond, aux)
+                out = out.astype(x.dtype)
+            if cond_fn is not None:
+                out = apply_guidance(cond_fn, guidance_target, out, row["g_on"])
+            return out, aux
 
         return denoise, aux0
 
     def _sample_2m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg,
+        v_param, use_cfg, cond_fn=None, guidance_target=None,
     ):
         """dpm++_2m_sde (midpoint) as one lax.scan; carry = old denoised."""
         n = len(sigmas) - 1
@@ -246,7 +268,11 @@ class EDMSampler(Sampler):
                 rows["noise"][i] = sigmas[i + 1] * np.sqrt(-np.expm1(-2 * eta_h)) * s_noise
             h_last = h
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        denoise, aux0 = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        denoise, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
 
         def body(carry, row):
             x, old, key, aux = carry
@@ -263,7 +289,7 @@ class EDMSampler(Sampler):
 
     def _sample_euler_a_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg,
+        v_param, use_cfg, cond_fn=None, guidance_target=None,
     ):
         """Euler-ancestral as one lax.scan (no carry beyond x)."""
         n = len(sigmas) - 1
@@ -278,7 +304,11 @@ class EDMSampler(Sampler):
             if sigmas[i + 1] > 0:
                 rows["noise"][i] = self.s_noise * su
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        denoise, aux0 = self._scan_denoiser(model_fn, cond, uncond, use_cfg, bs)
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        denoise, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
 
         def body(carry, row):
             x, key, aux = carry
@@ -294,7 +324,7 @@ class EDMSampler(Sampler):
     # ------------------------------------------------------------------ #
     def _sample_3m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg,
+        v_param, use_cfg, cond_fn=None, guidance_target=None,
     ):
         """dpm++_3m_sde (the default CLI solver) as ONE lax.scan.
 
@@ -347,6 +377,8 @@ class EDMSampler(Sampler):
                 )
             h_1, h_2 = h, h_1
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
 
         has_aux = getattr(model_fn, "has_aux", False)
         aux0 = model_fn.init_aux() if has_aux else None
@@ -373,6 +405,10 @@ class EDMSampler(Sampler):
             else:
                 denoised, aux = call(x, t_vec, cond, aux)
             denoised = denoised.astype(x.dtype)
+            if cond_fn is not None:
+                denoised = apply_guidance(
+                    cond_fn, guidance_target, denoised, row["g_on"]
+                )
 
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from ..schedule import make_spaced_coeffs
-from .base import ModelFn, Sampler, cfg_model_call, cfg_model_call_aux
+from .base import (
+    ModelFn,
+    Sampler,
+    apply_guidance,
+    cfg_model_call,
+    cfg_model_call_aux,
+    guidance_gate,
+)
 
 
 class SpacedSampler(Sampler):
@@ -37,7 +44,7 @@ class SpacedSampler(Sampler):
         g_on = np.zeros(steps, np.bool_)
         if cond_fn is not None:
             assert guidance_target is not None, "guidance needs a target"
-            g_on = (model_ts <= cond_fn.t_start) & (model_ts >= cond_fn.t_stop)
+            g_on = guidance_gate(cond_fn, model_ts)
         tables = {
             "model_t": model_ts.astype(np.float32),
             "sqrt_recip": c.sqrt_recip_alphas_cumprod[order].astype(np.float32),
@@ -73,13 +80,7 @@ class SpacedSampler(Sampler):
             else:
                 x0 = row["sqrt_ac"] * x - row["sqrt_omac"] * out
             if cond_fn is not None:
-                def guide(v):
-                    for _ in range(max(1, cond_fn.repeat)):
-                        g, _loss = cond_fn(guidance_target, v)
-                        v = v + g
-                    return v
-
-                x0 = jax.lax.cond(row["g_on"], guide, lambda v: v, x0)
+                x0 = apply_guidance(cond_fn, guidance_target, x0, row["g_on"])
             mean = row["coef1"] * x0 + row["coef2"] * x
             noise = jax.random.normal(sub, x.shape, x.dtype)
             x = mean + row["nonzero"] * row["sqrt_var"] * noise

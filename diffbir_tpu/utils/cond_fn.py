@@ -42,6 +42,36 @@ class Guidance:
         return -grad * self.scale, loss
 
 
+class RGBSpaceGuidance:
+    """Adapter: compute an rgb-space guidance loss on a *latent* pred_x0.
+
+    ``--g_space rgb`` semantics (reference cond_fn.py:20-45 + GDP): the loss
+    compares the VAE-decoded pred_x0 (RGB, [-1,1]) against the RGB target;
+    the gradient flows through the decoder back to the latent. The decoded
+    image is cropped to the target's spatial size (latent may carry UNet
+    padding).
+    """
+
+    def __init__(self, inner: Guidance, decode_fn):
+        self.inner = inner
+        self.decode_fn = decode_fn
+        self.t_start = inner.t_start
+        self.t_stop = inner.t_stop
+        self.repeat = inner.repeat
+        self.scale = inner.scale
+        self.space = "rgb"
+
+    def __call__(self, target_rgb, pred_z0):
+        h, w = target_rgb.shape[1:3]
+
+        def loss_fn(z):
+            img = self.decode_fn(z)[:, :h, :w, :].astype(jnp.float32)
+            return self.inner.loss(img, target_rgb)
+
+        loss, grad = jax.value_and_grad(loss_fn)(pred_z0)
+        return -grad * self.scale, loss
+
+
 class MSEGuidance(Guidance):
     def loss(self, pred_x0, target_x0):
         return jnp.sum(jnp.mean((pred_x0 - target_x0) ** 2, axis=(1, 2, 3)))

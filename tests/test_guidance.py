@@ -1,0 +1,153 @@
+"""Restoration guidance across samplers + latent-padding regressions.
+
+Covers VERDICT r1 items: guidance threaded through DDIM and the EDM solvers
+(scan + unrolled), rgb-space guidance (decode pred_x0 inside the grad), a
+clear error for unsupported sampler/guidance combos, and the ADVICE r1 high
+finding (untiled UNet on a non-x64 input when the VAE encoder is tiled).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.pipeline import IdentityCleanerPipeline
+from diffbir_tpu.schedule import Schedule
+from diffbir_tpu.utils.cond_fn import MSEGuidance, WeightedMSEGuidance
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(
+        jax.random.PRNGKey(0), (8, 8)
+    )
+    return cldm, params
+
+
+def _model_fn(cldm, params):
+    def model_fn(x, t, c):
+        return cldm(params, x, t, c)
+
+    return model_fn
+
+
+COND = {"c_txt": jnp.zeros((1, 77, 64)), "c_img": jnp.zeros((1, 8, 8, 4))}
+TARGET = jnp.full((1, 8, 8, 4), 0.7)
+
+
+def _build_sampler(kind, betas):
+    if kind == "ddim":
+        from diffbir_tpu.sampler import DDIMSampler
+
+        return DDIMSampler(betas, "eps", rescale_cfg=False)
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    return EDMSampler(betas, "eps", False, solver_type=kind, eta=0.0)
+
+
+@pytest.mark.parametrize(
+    "kind", ["ddim", "euler", "euler_a", "dpm++_2m_sde", "dpm++_3m_sde"]
+)
+def test_guided_sampler_moves_toward_target(tiny, kind):
+    """Guidance must pull the final latent toward the target in every
+    sampler family it is threaded through (scan and unrolled paths)."""
+    cldm, params = tiny
+    schedule = Schedule.create(timesteps=50)
+    model_fn = _model_fn(cldm, params)
+    s = _build_sampler(kind, schedule.betas)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    base = s.sample(model_fn, x_T, COND, None, 1.0, 4, jax.random.PRNGKey(2))
+    g = MSEGuidance(scale=0.01, t_start=1001, t_stop=-1, space="latent", repeat=1)
+    guided = s.sample(
+        model_fn, x_T, COND, None, 1.0, 4, jax.random.PRNGKey(2),
+        cond_fn=g, guidance_target=TARGET,
+    )
+    d_base = float(jnp.mean((base - TARGET) ** 2))
+    d_guided = float(jnp.mean((guided - TARGET) ** 2))
+    assert np.isfinite(d_guided)
+    assert d_guided < d_base, f"{kind}: {d_guided} !< {d_base}"
+
+
+def test_guidance_window_gates_steps(tiny):
+    """Outside [t_stop, t_start] guidance must be a no-op."""
+    cldm, params = tiny
+    schedule = Schedule.create(timesteps=50)
+    model_fn = _model_fn(cldm, params)
+    from diffbir_tpu.sampler import DDIMSampler
+
+    s = DDIMSampler(schedule.betas, "eps", rescale_cfg=False)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    base = s.sample(model_fn, x_T, COND, None, 1.0, 4, jax.random.PRNGKey(2))
+    g = MSEGuidance(scale=0.05, t_start=-5, t_stop=-10, space="latent", repeat=1)
+    gated = s.sample(
+        model_fn, x_T, COND, None, 1.0, 4, jax.random.PRNGKey(2),
+        cond_fn=g, guidance_target=TARGET,
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(gated), atol=1e-6)
+
+
+def _tiny_pipe(cond_fn=None):
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(
+        jax.random.PRNGKey(0), (8, 8)
+    )
+    schedule = Schedule.create(timesteps=100, parameterization="eps")
+    return IdentityCleanerPipeline(
+        None, cldm, params, schedule, tokenizer=None, cond_fn=cond_fn,
+        min_cond_size=64,
+    )
+
+
+def test_rgb_space_guidance_runs_and_biases_output():
+    """--g_space rgb: loss on the decoded pred_x0; grad flows through the
+    VAE decoder. The guided output must differ from unguided and move the
+    decoded image toward the condition."""
+    lq = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    plain = _tiny_pipe().run(lq, steps=3, cfg_scale=1.0, sampler_type="spaced", seed=5)
+    g = MSEGuidance(scale=0.05, t_start=1001, t_stop=-1, space="rgb", repeat=1)
+    guided_pipe = _tiny_pipe(cond_fn=g)
+    guided = guided_pipe.run(lq, steps=3, cfg_scale=1.0, sampler_type="spaced", seed=5)
+    assert guided.shape == plain.shape
+    assert np.any(guided != plain)
+
+
+def test_weighted_rgb_guidance_runs():
+    lq = np.random.default_rng(3).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    g = WeightedMSEGuidance(scale=0.02, t_start=1001, t_stop=-1, space="rgb", repeat=1)
+    out = _tiny_pipe(cond_fn=g).run(lq, steps=2, cfg_scale=1.0, sampler_type="ddim", seed=1)
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_guidance_unsupported_sampler_raises():
+    g = MSEGuidance(scale=0.01, t_start=601, t_stop=-1, space="latent", repeat=1)
+    pipe = _tiny_pipe(cond_fn=g)
+    lq = np.zeros((1, 64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="guidance"):
+        pipe.run(lq, steps=2, cfg_scale=1.0, sampler_type="dpm++_m2")
+
+
+def test_vae_encoder_tiled_non_x64_input():
+    """ADVICE r1 high: when only x8 padding applies (tiled VAE encoder), the
+    latent must be padded to x8 for the untiled UNet and z cropped back."""
+    pipe = _tiny_pipe()
+    lq = np.random.default_rng(4).integers(0, 255, (1, 88, 104, 3), dtype=np.uint8)
+    out = pipe.run(
+        lq, steps=2, cfg_scale=1.0, sampler_type="spaced",
+        vae_encoder_tiled=True, vae_encoder_tile_size=64,
+    )
+    assert out.shape == (1, 88, 104, 3)
+
+
+def test_cldm_tiled_auto_disable_non_x64_input():
+    """cldm tiling requested but auto-disabled (input < tile) on a non-x64
+    input: the untiled UNet must still get a x8 latent."""
+    pipe = _tiny_pipe()
+    lq = np.random.default_rng(5).integers(0, 255, (1, 88, 104, 3), dtype=np.uint8)
+    out = pipe.run(
+        lq, steps=2, cfg_scale=1.0, sampler_type="spaced",
+        cldm_tiled=True, cldm_tile_size=512, cldm_tile_stride=256,
+    )
+    assert out.shape == (1, 88, 104, 3)
