@@ -70,8 +70,11 @@ class BatchingServer:
         ph, pw = (b - h0 % b) % b, (b - w0 % b) % b
         if ph or pw:
             image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        # seed is part of the key: requests only share a batch when they'd
+        # also share the RNG stream, so a request's output can never depend
+        # on a co-batched request's seed
         key = (image.shape[0], image.shape[1], int(steps), float(cfg_scale),
-               str(pos), str(neg), str(sampler))
+               str(pos), str(neg), str(sampler), int(seed))
         req = _Request(image, key, int(seed))
         self.q.put(req)
         req.event.wait()
@@ -106,7 +109,7 @@ class BatchingServer:
             group = self._collect()
             try:
                 imgs = np.stack([r.image for r in group])
-                h, w, steps, cfg, pos, neg, sampler = group[0].key
+                h, w, steps, cfg, pos, neg, sampler, _seed = group[0].key
                 # one rng stream per batch (each slot draws distinct noise);
                 # for bit-reproducible outputs send requests with batch=1
                 out = self.pipeline.run(

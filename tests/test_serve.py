@@ -127,3 +127,29 @@ def test_http_round_trip():
             assert json.loads(resp.read())["ok"] is True
     finally:
         httpd.shutdown()
+
+
+def test_different_seeds_never_share_a_batch():
+    """Seed is part of the batch key (ADVICE r1): a request's RNG stream can
+    never be decided by a co-batched request."""
+    class SeedRecorder(StubPipeline):
+        def __init__(self):
+            super().__init__(delay=0.05)
+            self.seeds = []
+
+        def run(self, imgs, **kw):
+            with self.lock:
+                self.seeds.append((len(imgs), kw["seed"]))
+            time.sleep(self.delay)
+            return np.asarray(imgs)
+
+    pipe = SeedRecorder()
+    srv = BatchingServer(pipe, batch=4, max_wait_ms=250)
+    img = np.zeros((32, 32, 3), np.uint8)
+    jobs = [_submit_async(srv, img, seed=s) for s in (1, 1, 2, 2)]
+    for t, _ in jobs:
+        t.join(timeout=10)
+    # both distinct seeds ran, and no batch mixed seeds
+    ran = sorted(set(s for _, s in pipe.seeds))
+    assert ran == [1, 2]
+    assert sum(n for n, _ in pipe.seeds) == 4
