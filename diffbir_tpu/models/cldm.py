@@ -114,34 +114,40 @@ class ControlLDM:
         rng: Optional[jax.Array] = None,
         tiled: bool = False,
         tile_size: int = 256,
+        tile_mode: str = "blend",
+        tiles_per_chunk: int = 8,
     ) -> jax.Array:
         """image in [-1,1] NHWC -> scaled latent (cldm.py:92-119).
 
-        ``tiled`` runs the encoder per-tile with Gaussian overlap blending of
-        the latent means (the tiling subsystem, SURVEY.md §5.7); sampling is
-        applied to the blended mean with the full-latent logvar approximated
-        per tile, so tiled sampling uses mode+noise like the reference's
-        tiled encode path.
+        tile_mode when ``tiled``:
+        - "blend": encoder per overlapping tile, Gaussian blending of BOTH
+          posterior moments (mean and logvar), then exact posterior sampling.
+        - "sync_gn": non-overlapping tiles with a 32-px image halo; every
+          GroupNorm reduces across ALL tiles (the reference tiled encoder,
+          tilevae.py:232-304 encoder path) with chunked segment compute.
         """
-        if tiled:
+        if tiled and tile_mode == "sync_gn":
+            mean, logvar = self._vae_encode_sync(
+                params, image, tile_size, chunk=tiles_per_chunk
+            )
+        elif tiled:
             from ..tiling import make_tiled_fn
 
-            def enc_mean(x):
-                mean, _ = self.vae.apply(params["vae"], x, method=self.vae.encode_moments)
-                return mean
+            def enc_moments(x):
+                m, lv = self.vae.apply(
+                    params["vae"], x, method=self.vae.encode_moments
+                )
+                return jnp.concatenate([m, lv], axis=-1)
 
-            mean = make_tiled_fn(
-                enc_mean, tile_size, tile_size // 2, scale_type="down", scale=8,
-                channel=self.vae.embed_dim,
+            moments = make_tiled_fn(
+                enc_moments, tile_size, tile_size // 2, scale_type="down", scale=8,
+                channel=2 * self.vae.embed_dim,
             )(image)
-            z = mean
-            if sample:
-                assert rng is not None
-                z = mean + jax.random.normal(rng, mean.shape, mean.dtype)
-            return z * self.scale_factor
-        mean, logvar = self.vae.apply(
-            params["vae"], image, method=self.vae.encode_moments
-        )
+            mean, logvar = jnp.split(moments, 2, axis=-1)
+        else:
+            mean, logvar = self.vae.apply(
+                params["vae"], image, method=self.vae.encode_moments
+            )
         if sample:
             assert rng is not None, "sampling the posterior needs an rng"
             std = jnp.exp(0.5 * logvar)
@@ -149,6 +155,45 @@ class ControlLDM:
         else:
             z = mean
         return z * self.scale_factor
+
+    def _vae_encode_sync(
+        self, params: Params, image: jax.Array, tile_size: int,
+        halo: int = 32, chunk: int = 8,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Cross-tile-GN tiled encode. ``tile_size``/``halo`` in image px
+        (both multiples of 8); streaming segments via vae_stream."""
+        from .vae_stream import encode_sync_moments
+
+        assert image.shape[0] == 1, "sync_gn tiling supports batch 1"
+        assert tile_size % 8 == 0 and halo % 8 == 0
+        _, h, w, _ = image.shape
+        ts = tile_size
+        ph = (ts - h % ts) % ts
+        pw = (ts - w % ts) % ts
+        xp = jnp.pad(
+            image, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)),
+            mode="edge",
+        )
+        coords = [(i, j) for i in range(0, h + ph, ts) for j in range(0, w + pw, ts)]
+        tiles = jnp.concatenate(
+            [xp[:, i: i + ts + 2 * halo, j: j + ts + 2 * halo, :] for i, j in coords],
+            axis=0,
+        )
+        mean_t, logvar_t = encode_sync_moments(
+            params["vae"], tiles, ch_mult=self.vae.ch_mult,
+            num_res_blocks=self.vae.num_res_blocks, dtype=self.vae.dtype,
+            chunk=chunk,
+        )
+        hl, wl = (h + ph) // 8, (w + pw) // 8
+        tl, hal = ts // 8, halo // 8
+        out = jnp.zeros((1, hl, wl, 2 * mean_t.shape[-1]), mean_t.dtype)
+        mom_t = jnp.concatenate([mean_t, logvar_t], axis=-1)
+        for t_idx, (i, j) in enumerate(coords):
+            valid = mom_t[t_idx: t_idx + 1, hal: hal + tl, hal: hal + tl, :]
+            out = out.at[:, i // 8: i // 8 + tl, j // 8: j // 8 + tl, :].set(valid)
+        out = out[:, : h // 8, : w // 8, :]
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        return mean, logvar
 
     def vae_decode(
         self,
@@ -183,9 +228,16 @@ class ControlLDM:
         return self.vae.apply(params["vae"], z / self.scale_factor, method=self.vae.decode)
 
     def _vae_decode_sync(
-        self, params: Params, z: jax.Array, tile_size: int, halo: int = 11
+        self, params: Params, z: jax.Array, tile_size: int, halo: int = 11,
+        chunk: int = 8,
     ) -> jax.Array:
-        from .vae import Decoder
+        """Cross-tile-GN tiled decode (tile_size/halo in LATENT px).
+
+        GN statistics are exact across all tiles (reference tilevae
+        decoder path); segment compute streams in ``chunk``-tile groups so
+        the conv workspace stays bounded at high resolutions.
+        """
+        from .vae_stream import decode_sync
 
         assert z.shape[0] == 1, "sync_gn tiling supports batch 1"
         b, h, w, c = z.shape
@@ -193,20 +245,16 @@ class ControlLDM:
         ph = (ts - h % ts) % ts
         pw = (ts - w % ts) % ts
         zp = jnp.pad(z, ((0, 0), (halo, halo + ph), (halo, halo + pw), (0, 0)), mode="edge")
-        z_in = self.vae.apply(
-            params["vae"], zp / self.scale_factor, method=lambda m, v: m.post_quant_conv(v)
-        )
-        tiles = []
         coords = [(i, j) for i in range(0, h + ph, ts) for j in range(0, w + pw, ts)]
-        for i, j in coords:
-            tiles.append(z_in[:, i: i + ts + 2 * halo, j: j + ts + 2 * halo, :])
-        batch = jnp.concatenate(tiles, axis=0)
-        dec = Decoder(
-            ch=self.vae.ch, out_ch=self.vae.out_ch, ch_mult=self.vae.ch_mult,
-            num_res_blocks=self.vae.num_res_blocks, z_channels=self.vae.z_channels,
-            dtype=self.vae.dtype, gn_cross=True,
+        tiles = jnp.concatenate(
+            [zp[:, i: i + ts + 2 * halo, j: j + ts + 2 * halo, :] for i, j in coords],
+            axis=0,
         )
-        out_tiles = dec.apply({"params": params["vae"]["params"]["decoder"]}, batch)
+        out_tiles = decode_sync(
+            params["vae"], tiles / self.scale_factor, ch_mult=self.vae.ch_mult,
+            num_res_blocks=self.vae.num_res_blocks, dtype=self.vae.dtype,
+            chunk=chunk,
+        )
         out = jnp.zeros((1, (h + ph) * 8, (w + pw) * 8, 3), out_tiles.dtype)
         for t_idx, (i, j) in enumerate(coords):
             valid = out_tiles[t_idx: t_idx + 1, halo * 8: (halo + ts) * 8, halo * 8: (halo + ts) * 8, :]
@@ -223,12 +271,14 @@ class ControlLDM:
         tokens: jax.Array,
         tiled: bool = False,
         tile_size: int = 256,
+        tile_mode: str = "blend",
     ) -> Dict[str, jax.Array]:
         """cond_img in [0,1] NHWC; tokens [B,77] int32 (cldm.py:143-158)."""
         return dict(
             c_txt=self.encode_text(params, tokens),
             c_img=self.vae_encode(
-                params, cond_img * 2 - 1, sample=False, tiled=tiled, tile_size=tile_size
+                params, cond_img * 2 - 1, sample=False, tiled=tiled,
+                tile_size=tile_size, tile_mode=tile_mode,
             ),
         )
 

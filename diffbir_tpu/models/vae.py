@@ -253,7 +253,7 @@ def gaussian_kl(
 
 def gaussian_nll(sample: jax.Array, mean: jax.Array, logvar: jax.Array) -> jax.Array:
     """Negative log likelihood, summed over non-batch dims (distributions.py:62-74)."""
-    log2pi = float(np.log(2.0 * np.pi)) if False else 1.8378770664093453
+    log2pi = 1.8378770664093453  # log(2*pi)
     var = jnp.exp(logvar)
     return 0.5 * jnp.sum(
         log2pi + logvar + (sample - mean) ** 2 / var,

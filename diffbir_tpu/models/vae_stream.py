@@ -1,0 +1,207 @@
+"""Streaming tiled-VAE execution with exact cross-tile GroupNorm.
+
+Behavioral parity target: the reference task-queue tiled VAE
+(/root/reference/diffbir/utils/tilevae/tilevae.py:232-304, :507-568):
+GroupNorm statistics are aggregated across ALL tiles of one image, so the
+tiled output is mathematically seam-free, while the per-tile compute is
+bounded.
+
+TPU-first redesign: instead of a host-orchestrated task queue that
+ping-pongs tiles between RAM and VRAM, the tile axis is a leading array
+axis. The network runs *layer by layer over all tiles*:
+
+- GroupNorm sites reduce over the full tile axis in fp32 (identical math to
+  ``GroupNorm32(cross_batch=True)``) — one fused XLA reduction, no
+  host round-trips;
+- conv / attention / resample segments map over tile CHUNKS via ``lax.map``
+  so the convolution workspace is bounded by ``chunk`` tiles, not the whole
+  image (the analog of the reference's per-task execution);
+- only the layer-boundary activation for all tiles is resident — the same
+  asymptotic footprint the reference keeps in CPU RAM, but in HBM where the
+  next segment reads it at full bandwidth.
+
+The forward is a hand-written pytree program over the flax param tree of
+``models.vae`` (module names are identical), so the exact-equality contract
+with ``Decoder(gn_cross=True)`` / ``Encoder(gn_cross=True)`` is testable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+
+Params = Any
+
+
+# --------------------------------------------------------------------------- #
+# primitives
+# --------------------------------------------------------------------------- #
+def _map_chunks(fn, x: jax.Array, chunk: int) -> jax.Array:
+    """Apply ``fn`` over the leading (tile) axis in chunks via ``lax.map``.
+
+    Bounds the segment workspace to ``chunk`` tiles; zero-pads the tile axis
+    to a chunk multiple (results for pad tiles are discarded).
+    """
+    t = x.shape[0]
+    if t <= chunk:
+        return fn(x)
+    pad = (-t) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    xs = x.reshape((x.shape[0] // chunk, chunk) + x.shape[1:])
+    ys = jax.lax.map(fn, xs)
+    return ys.reshape((-1,) + ys.shape[2:])[:t]
+
+
+def _conv(p: Params, x: jax.Array, stride: int = 1, padding: int | None = None,
+          dtype=jnp.float32) -> jax.Array:
+    """NHWC conv matching flax nn.Conv(param_dtype=fp32, dtype=dtype)."""
+    k = p["kernel"]
+    if padding is None:
+        padding = k.shape[0] // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def _gn_global(p: Params, x: jax.Array, groups: int = 32, eps: float = 1e-6) -> jax.Array:
+    """GroupNorm with statistics over (tiles, h, w) jointly — identical math
+    to GroupNorm32(cross_batch=True) (layers.py:55-72)."""
+    c = x.shape[-1]
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    xg = xf.reshape(shape[:-1] + (groups, c // groups))
+    axes = tuple(range(0, xf.ndim - 1)) + (xf.ndim,)
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(shape) * p["scale"] + p["bias"]
+    return out.astype(orig_dtype)
+
+
+def _resblock(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
+    h = _gn_global(p["norm1"], x)
+    h = _map_chunks(lambda v: _conv(p["conv1"], jax.nn.silu(v), dtype=dtype), h, chunk)
+    h = _gn_global(p["norm2"], h)
+    h = _map_chunks(lambda v: _conv(p["conv2"], jax.nn.silu(v), dtype=dtype), h, chunk)
+    if "nin_shortcut" in p:
+        x = _map_chunks(
+            lambda v: _conv(p["nin_shortcut"], v, padding=0, dtype=dtype), x, chunk
+        )
+    return x + h
+
+
+def _attnblock(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
+    hn = _gn_global(p["norm"], x)
+
+    def attn_seg(v):
+        b, h, w, c = v.shape
+        q = _conv(p["q"], v, padding=0, dtype=dtype).reshape(b, h * w, 1, c)
+        k = _conv(p["k"], v, padding=0, dtype=dtype).reshape(b, h * w, 1, c)
+        val = _conv(p["v"], v, padding=0, dtype=dtype).reshape(b, h * w, 1, c)
+        out = attention(q, k, val).reshape(b, h, w, c)
+        return _conv(p["proj_out"], out, padding=0, dtype=dtype)
+
+    return x + _map_chunks(attn_seg, hn, chunk)
+
+
+def _upsample(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
+    def seg(v):
+        b, h, w, c = v.shape
+        v = jnp.broadcast_to(v[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return _conv(p["conv"], v.reshape(b, h * 2, w * 2, c), dtype=dtype)
+
+    return _map_chunks(seg, x, chunk)
+
+
+def _downsample(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
+    def seg(v):
+        v = jnp.pad(v, ((0, 0), (0, 1), (0, 1), (0, 0)))  # torch (0,1,0,1) pad
+        return _conv(p["conv"], v, stride=2, padding=0, dtype=dtype)
+
+    return _map_chunks(seg, x, chunk)
+
+
+# --------------------------------------------------------------------------- #
+# full passes
+# --------------------------------------------------------------------------- #
+def decode_sync(
+    vae_params: Params,
+    z_tiles: jax.Array,
+    *,
+    ch_mult,
+    num_res_blocks: int,
+    dtype=jnp.float32,
+    chunk: int = 8,
+) -> jax.Array:
+    """Decoder over [T, h, w, zc] tiles with global GN stats. ``z_tiles``
+    must already be divided by scale_factor. Returns [T, 8h, 8w, 3]."""
+    p = vae_params["params"]
+    x = _map_chunks(
+        lambda v: _conv(p["post_quant_conv"], v, padding=0, dtype=jnp.float32),
+        z_tiles, chunk,
+    )
+    d = p["decoder"]
+    n = len(ch_mult)
+    x = _map_chunks(lambda v: _conv(d["conv_in"], v, dtype=dtype), x, chunk)
+    x = _resblock(d["mid.block_1"], x, chunk, dtype)
+    x = _attnblock(d["mid.attn_1"], x, chunk, dtype)
+    x = _resblock(d["mid.block_2"], x, chunk, dtype)
+    for i in reversed(range(n)):
+        up = d[f"up.{i}"]
+        for j in range(num_res_blocks + 1):
+            x = _resblock(up[f"block.{j}"], x, chunk, dtype)
+        if i != 0:
+            x = _upsample(up["upsample"], x, chunk, dtype)
+    x = _gn_global(d["norm_out"], x)
+    return _map_chunks(
+        lambda v: _conv(d["conv_out"], jax.nn.silu(v).astype(jnp.float32),
+                        dtype=jnp.float32),
+        x, chunk,
+    )
+
+
+def encode_sync_moments(
+    vae_params: Params,
+    img_tiles: jax.Array,
+    *,
+    ch_mult,
+    num_res_blocks: int,
+    dtype=jnp.float32,
+    chunk: int = 8,
+):
+    """Encoder over [T, H, W, 3] image tiles (in [-1, 1]) with global GN
+    stats. Returns (mean, logvar) tiles at 1/8 scale — the reference-grade
+    tiled encoder (tilevae encoder path, pad 32)."""
+    p = vae_params["params"]
+    e = p["encoder"]
+    n = len(ch_mult)
+    x = _map_chunks(lambda v: _conv(e["conv_in"], v, dtype=dtype), img_tiles, chunk)
+    for i in range(n):
+        down = e[f"down.{i}"]
+        for j in range(num_res_blocks):
+            x = _resblock(down[f"block.{j}"], x, chunk, dtype)
+        if i != n - 1:
+            x = _downsample(down["downsample"], x, chunk, dtype)
+    x = _resblock(e["mid.block_1"], x, chunk, dtype)
+    x = _attnblock(e["mid.attn_1"], x, chunk, dtype)
+    x = _resblock(e["mid.block_2"], x, chunk, dtype)
+    x = _gn_global(e["norm_out"], x)
+    x = _map_chunks(
+        lambda v: _conv(e["conv_out"], jax.nn.silu(v).astype(jnp.float32),
+                        dtype=jnp.float32),
+        x, chunk,
+    )
+    moments = _map_chunks(
+        lambda v: _conv(p["quant_conv"], v, padding=0, dtype=jnp.float32), x, chunk
+    )
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    return mean, jnp.clip(logvar, -30.0, 20.0)
