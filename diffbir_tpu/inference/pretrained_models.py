@@ -31,6 +31,10 @@ MODELS = {
     "v1_general": "https://huggingface.co/lxq007/DiffBIR-v2/resolve/main/v1_general.pth",
     "v2": "https://huggingface.co/lxq007/DiffBIR-v2/resolve/main/v2.pth",
     "v2.1": "https://huggingface.co/lxq007/DiffBIR-v2/resolve/main/DiffBIR_v2.1.pt",
+    # face helper networks (facexlib checkpoints; used by unaligned BFR —
+    # reference face.py:113-117 detector + parse-net soft mask)
+    "retinaface_resnet50": "https://github.com/xinntao/facexlib/releases/download/v0.1.0/detection_Resnet50_Final.pth",
+    "parsenet": "https://github.com/xinntao/facexlib/releases/download/v0.2.2/parsing_parsenet.pth",
 }
 
 

@@ -80,7 +80,13 @@ class UnAlignedBFRInferenceLoop(InferenceLoop):
             upscaled = lq.resize(
                 tuple(int(s * self.args.upscale) for s in lq.size), Image.BICUBIC
             )
-            helper = FaceRestoreHelper(upscale_factor=1.0, face_size=512)
+            if not hasattr(self, "_face_parser"):
+                from ..utils.face import load_jax_parser
+
+                self._face_parser = load_jax_parser()  # None when no weights
+            helper = FaceRestoreHelper(
+                upscale_factor=1.0, face_size=512, face_parser=self._face_parser
+            )
             helper.read_image(np.array(upscaled))
             n = helper.get_face_landmarks_5(resize=640)
             helper.align_warp_face()

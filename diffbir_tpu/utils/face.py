@@ -4,13 +4,23 @@ Behavioral parity target: /root/reference/diffbir/utils/face.py:49-516
 (FaceRestoreHelper): 5-landmark affine alignment to the FFHQ template,
 eye-distance filtering, inverse-affine paste-back with a soft mask.
 
-Detection backends are pluggable:
-- facexlib RetinaFace when imported successfully (same as the reference);
-- a user-provided ``landmarks_fn(img_bgr) -> [N, 5, 2]``;
+Detection backends (tried in order):
+- the JAX RetinaFace port (models/retinaface.py) when its weights are in
+  ``weights/`` (the TPU-native path);
+- a user-provided ``landmarks_fn(img_rgb) -> [N, 5, 2]``;
+- facexlib RetinaFace when importable (torch fallback, like the reference);
 otherwise calling ``get_face_landmarks_5`` raises with guidance.
+
+Paste-back uses the ParseNet soft mask (models/parsenet.py,
+reference face.py:476-509) when parse weights are available, otherwise the
+reference's no-parse fallback (eroded + blurred box mask, face.py:430-470).
+
+Image convention: this helper works in RGB uint8 HWC end to end (the repo's
+native convention); BGR conversion happens internally where a backend needs
+it. The reference resolves the same landmine explicitly at face.py:120-135.
+
 Warping/pasting is host-side cv2 (CPU preprocessing feeding the TPU), like
-the reference. The parse-net soft mask is replaced by the reference's own
-no-parse fallback (eroded + blurred box mask, face.py:430-470 behavior).
+the reference.
 """
 
 from __future__ import annotations
@@ -34,6 +44,61 @@ FFHQ_TEMPLATE_512 = np.array(
 )
 
 
+def _weights_path(name: str) -> Optional[str]:
+    """Locate a registry checkpoint under weights/ without downloading."""
+    import os
+
+    from ..inference.pretrained_models import MODELS, weights_dir
+
+    url = MODELS[name]
+    path = os.path.join(weights_dir(), os.path.basename(url.split("?")[0]))
+    return path if os.path.exists(path) else None
+
+
+def load_jax_detector():
+    """RetinaFaceDetector from weights/, or None when weights are absent."""
+    path = _weights_path("retinaface_resnet50")
+    if path is None:
+        return None
+    import jax
+
+    from ..models.retinaface import RetinaFace, RetinaFaceDetector
+    from ..weights import convert
+
+    sd = convert.load_torch_state_dict(path)
+    model = RetinaFace()
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp_zeros((1, 64, 64, 3))), jax.random.PRNGKey(0)
+    )
+    params, _, _ = convert.fill_flax_params(shapes, sd, strict=True)
+    return RetinaFaceDetector(params)
+
+
+def load_jax_parser():
+    """FaceParser from weights/, or None when weights are absent."""
+    path = _weights_path("parsenet")
+    if path is None:
+        return None
+    import jax
+
+    from ..models.parsenet import FaceParser, ParseNet
+    from ..weights import convert
+
+    sd = convert.load_torch_state_dict(path)
+    model = ParseNet()
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp_zeros((1, 512, 512, 3))), jax.random.PRNGKey(0)
+    )
+    params, _, _ = convert.fill_flax_params(shapes, sd, strict=True)
+    return FaceParser(params)
+
+
+def jnp_zeros(shape):
+    import jax.numpy as jnp
+
+    return jnp.zeros(shape, jnp.float32)
+
+
 class FaceRestoreHelper:
     def __init__(
         self,
@@ -41,13 +106,19 @@ class FaceRestoreHelper:
         face_size: int = 512,
         eye_dist_threshold: Optional[float] = 5.0,
         landmarks_fn: Optional[Callable] = None,
+        detector=None,
+        face_parser=None,
     ):
         self.upscale_factor = upscale_factor
         self.face_size = face_size
         self.face_template = FFHQ_TEMPLATE_512 * (face_size / 512.0)
         self.eye_dist_threshold = eye_dist_threshold
         self._landmarks_fn = landmarks_fn
-        self.input_img: Optional[np.ndarray] = None  # BGR uint8
+        # detector: object with detect_faces(img_bgr, thr) -> [N, 15]
+        self._detector = detector
+        # face_parser: object with parse(face_rgb01) -> [H, W] int class map
+        self.face_parser = face_parser
+        self.input_img: Optional[np.ndarray] = None  # RGB uint8
         self.all_landmarks_5: List[np.ndarray] = []
         self.cropped_faces: List[np.ndarray] = []
         self.restored_faces: List[np.ndarray] = []
@@ -61,14 +132,21 @@ class FaceRestoreHelper:
         self.inverse_affine_matrices = []
 
     def read_image(self, img: np.ndarray) -> None:
-        """img: uint8 HWC, RGB or BGR accepted as-is (caller's convention)."""
+        """img: uint8 HWC, RGB (the repo convention; grayscale broadcast)."""
         if img.ndim == 2:
-            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+            img = np.repeat(img[:, :, None], 3, axis=2)
         self.input_img = img
 
-    def _detect(self, img) -> np.ndarray:
+    def _detect(self, img_rgb) -> np.ndarray:
+        """img_rgb -> [N, 5, 2] landmarks. Backend order: user fn, JAX
+        RetinaFace (weights-gated), facexlib torch."""
         if self._landmarks_fn is not None:
-            return np.asarray(self._landmarks_fn(img))
+            return np.asarray(self._landmarks_fn(img_rgb))
+        if self._detector is None:
+            self._detector = load_jax_detector()
+        if self._detector is not None:
+            bboxes = self._detector.detect_faces(img_rgb[:, :, ::-1], 0.97)
+            return np.array([b[5:15].reshape(5, 2) for b in bboxes])
         try:
             from facexlib.detection import init_detection_model
 
@@ -77,11 +155,12 @@ class FaceRestoreHelper:
             import torch
 
             with torch.no_grad():
-                bboxes = self._det_model.detect_faces(img, 0.97)
+                bboxes = self._det_model.detect_faces(img_rgb[:, :, ::-1], 0.97)
             return np.array([b[5:15].reshape(5, 2) for b in bboxes])
         except ImportError as e:
             raise RuntimeError(
-                "no face detector available: install facexlib or pass "
+                "no face detector available: place the retinaface_resnet50 "
+                "checkpoint under weights/, install facexlib, or pass "
                 "landmarks_fn(img)->[N,5,2] to FaceRestoreHelper"
             ) from e
 
@@ -132,7 +211,12 @@ class FaceRestoreHelper:
     def paste_faces_to_input_image(
         self, upsample_img: Optional[np.ndarray] = None
     ) -> np.ndarray:
-        """Soft-mask paste-back at upscale resolution (face.py:364-509)."""
+        """Soft-mask paste-back at upscale resolution (face.py:364-509).
+
+        With ``face_parser`` set, the fusion mask is min(parse-net soft mask,
+        box mask) exactly like the reference's use_parse branch
+        (face.py:476-509); otherwise the no-parse eroded+blurred box mask.
+        """
         h, w = self.input_img.shape[:2]
         h_up = int(h * self.upscale_factor)
         w_up = int(w * self.upscale_factor)
@@ -153,7 +237,7 @@ class FaceRestoreHelper:
             inv_restored = cv2.warpAffine(face.astype(np.float32), inv, (w_up, h_up))
             mask = np.ones((self.face_size, self.face_size), np.float32)
             inv_mask = cv2.warpAffine(mask, inv, (w_up, h_up))
-            # erode borders then blur (no-parse soft mask)
+            # erode borders then blur (box soft mask)
             erosion = max(1, int(2 * self.upscale_factor))
             inv_mask_erosion = cv2.erode(
                 inv_mask, np.ones((erosion, erosion), np.uint8)
@@ -168,5 +252,37 @@ class FaceRestoreHelper:
             inv_soft_mask = cv2.GaussianBlur(
                 inv_mask_center, (blur_size, blur_size), 0
             )[:, :, None]
+            if self.face_parser is not None:
+                inv_soft_mask = self._fuse_parse_mask(
+                    face, inv, inv_soft_mask, (w_up, h_up)
+                )
             upsample_img = inv_soft_mask * inv_restored + (1 - inv_soft_mask) * upsample_img
         return np.clip(upsample_img, 0, 255).astype(np.uint8)
+
+    # 19-class -> keep/drop map: background(0), neck(14), eyeglasses-frame...
+    # identical to the reference MASK_COLORMAP (face.py:461)
+    MASK_COLORMAP = np.array(
+        [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+         0, 255, 0, 0, 0],
+        np.float32,
+    )
+
+    def _fuse_parse_mask(self, face, inv, inv_soft_mask, size_up):
+        """Parse-net soft mask fused with the box mask (face.py:476-509)."""
+        w_up, h_up = size_up
+        face_512 = cv2.resize(face, (512, 512), interpolation=cv2.INTER_LINEAR)
+        classes = np.asarray(self.face_parser.parse(face_512.astype(np.float32) / 255.0))
+        parse_mask = self.MASK_COLORMAP[classes]
+        parse_mask = cv2.GaussianBlur(parse_mask, (101, 101), 11)
+        parse_mask = cv2.GaussianBlur(parse_mask, (101, 101), 11)
+        thres = 10
+        parse_mask[:thres, :] = 0
+        parse_mask[-thres:, :] = 0
+        parse_mask[:, :thres] = 0
+        parse_mask[:, -thres:] = 0
+        parse_mask = parse_mask / 255.0
+        parse_mask = cv2.resize(parse_mask, (self.face_size, self.face_size))
+        parse_mask = cv2.warpAffine(parse_mask, inv, (w_up, h_up), flags=3)
+        inv_soft_parse_mask = parse_mask[:, :, None]
+        fuse = (inv_soft_parse_mask < inv_soft_mask).astype(np.float32)
+        return inv_soft_parse_mask * fuse + inv_soft_mask * (1 - fuse)
