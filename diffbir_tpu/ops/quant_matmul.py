@@ -1,0 +1,144 @@
+"""int8 weight-only quantized matmul (Pallas TPU kernel + XLA fallback).
+
+The reference serves LLaVA's 7B language model through bitsandbytes 4/8-bit
+quantized linears (/root/reference/llava/model/builder.py:26-80). The
+TPU-native equivalent (SURVEY.md §2.10) is a weight-only int8 matmul: weights
+live in HBM as int8 with one fp32 scale per output channel, and the kernel
+dequantizes tiles in VMEM right before the MXU dot. Token-by-token LLM
+decoding is bandwidth-bound on weight reads, so int8 weights halve the
+HBM traffic per step vs bf16 (and quarter it vs fp32) with <0.5% matmul
+error for LLM weight distributions.
+
+Quantization is symmetric per-output-channel: w ≈ w_q * scale[None, :].
+The scale multiply commutes with the K-reduction, so applying it after the
+accumulated dot is exact (not an approximation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[K, N] float -> (int8 [K, N], fp32 scale [N]) symmetric per-channel."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _xla_quant_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
+    """Fallback: dequantize-then-dot (XLA fuses the dequant into the dot
+    operand on TPU; exact same math as the kernel)."""
+    acc = jnp.dot(
+        x.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc * scale[None, :]).astype(x.dtype)
+
+
+def _kernel(x_ref, wq_ref, scale_ref, out_ref, acc_ref):
+    """Grid (n_tiles, k_tiles); K is the minor (sequential) axis so the fp32
+    accumulator carries across K steps of one N tile."""
+    from jax.experimental import pallas as pl
+
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = wq_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 in VMEM
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _done():
+        out_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)).astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
+def _pallas_quant_matmul(
+    x: jax.Array, w_q: jax.Array, scale: jax.Array,
+    block_n: int = 512, block_k: int = 1024,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (n,)
+    # pad M to the fp32 sublane minimum so the accumulator tiles cleanly
+    m_pad = (-m) % 8
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    bm = x.shape[0]
+    bn = min(block_n, n)
+    bk = min(block_k, k)
+    assert n % bn == 0 and k % bk == 0, (
+        f"quant_matmul needs N%{bn}==0 and K%{bk}==0 (got N={n}, K={k})"
+    )
+    grid = (n // bn, k // bk)
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )(x, w_q, scale.reshape(1, n))
+    return out[:m] if m_pad else out
+
+
+def quant_matmul(
+    x: jax.Array, w_q: jax.Array, scale: jax.Array, force: str = None
+) -> jax.Array:
+    """x [.., K] @ dequant(w_q [K, N]) -> [.., N].
+
+    Dispatch: the Pallas kernel on TPU for aligned shapes, XLA elsewhere
+    (identical math). ``force`` in {"pallas", "xla"} overrides (tests).
+    """
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    k, n = w_q.shape
+    use_pallas = force == "pallas"
+    if force is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and n % 256 == 0 and k % 256 == 0
+            and x2.shape[0] <= 1024  # prefill beyond this: XLA path is fine
+        )
+    if use_pallas:
+        bn = 512 if n % 512 == 0 else 256
+        bk = 1024 if k % 1024 == 0 else 256
+        out = _pallas_quant_matmul(x2, w_q, scale, block_n=bn, block_k=bk)
+    else:
+        out = _xla_quant_matmul(x2, w_q, scale)
+    return out.reshape(lead + (n,))
+
+
+class QuantLinear:
+    """Weight-only int8 linear: y = quant_matmul(x, w_q, scale) + b."""
+
+    def __init__(self, w: jax.Array, b: jax.Array = None):
+        self.w_q, self.scale = quantize_weight(w)
+        self.b = b
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = quant_matmul(x, self.w_q, self.scale)
+        if self.b is not None:
+            y = y + self.b
+        return y

@@ -44,6 +44,17 @@ def build_captioner(name: str) -> Captioner:
         )
         return RAMCaptioner()
     if name == "llava":
+        import glob
+        import os
+
+        # the TPU-native port when safetensors are present (and not
+        # explicitly disabled); HF-transformers host wrapper otherwise
+        path = os.environ.get("DIFFBIR_TPU_LLAVA_PATH", "")
+        mode = os.environ.get("DIFFBIR_TPU_LLAVA_MODE", "tpu")
+        if mode != "torch" and path and glob.glob(os.path.join(path, "*.safetensors")):
+            from ..captioners.llava_tpu import LLaVATPUCaptioner
+
+            return LLaVATPUCaptioner()
         from ..captioners.llava import LLaVACaptioner
 
         return LLaVACaptioner()
