@@ -20,7 +20,10 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -35,6 +38,93 @@ def batch_parallel(fn: Callable, mesh: Mesh) -> Callable:
     """Wrap a jitted restore fn so outputs stay batch-sharded on the mesh."""
     out_sharding = NamedSharding(mesh, P("data"))
     return jax.jit(fn, out_shardings=out_sharding)
+
+
+def make_tile_sharded_fn(
+    fn: Callable,
+    size: int,
+    stride: int,
+    mesh: Mesh,
+    axis: str = "data",
+    scale_type: str = "up",
+    scale: int = 1,
+    channel: int = None,
+    weight: str = "gaussian",
+) -> Callable:
+    """Tile-SHARDED version of tiling.make_tiled_fn: the tile axis is split
+    over the ``axis`` mesh dimension, each device blends its tiles into a
+    local canvas, and one ``psum`` over ICI reduces the weighted canvases
+    (cheaper than all-gathering per-tile outputs: the canvas is one image,
+    the tile stack is overlap-redundant). 8x SR at 2396x1596 (reference
+    README.md:43) maps onto a pod slice this way — every denoise-step tile
+    batch is embarrassingly parallel (SURVEY.md §2.11).
+
+    ``fn`` maps a tile batch [N, size, size, C] -> [N, out, out, C'].
+    Restriction: batch 1 (the high-res single-image path).
+    """
+    import functools
+
+    from jax import shard_map
+    from ..tiling import gaussian_weights, sliding_windows
+
+    assert scale_type in ("up", "down")
+    sfn = (lambda n: n * scale) if scale_type == "up" else (lambda n: n // scale)
+    n_dev = mesh.shape[axis]
+
+    def tiled(x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        assert b == 1, "tile-sharded path is the single-image high-res mode"
+        out_c = channel or c
+        coords = sliding_windows(h, w, size, stride)
+        osize = sfn(size)
+        wmask = (
+            gaussian_weights(osize, osize) if weight == "gaussian"
+            else np.ones((osize, osize))
+        )
+        count = np.zeros((sfn(h), sfn(w), 1), np.float32)
+        for hi, wi in coords:
+            count[sfn(hi): sfn(hi) + osize, sfn(wi): sfn(wi) + osize, 0] += wmask
+        # pad the tile list to a device multiple; padded tiles get weight 0
+        pad = (-len(coords)) % n_dev
+        valid = np.array([1.0] * len(coords) + [0.0] * pad, np.float32)
+        coords_pad = coords + [coords[-1]] * pad
+        tiles = jnp.concatenate(
+            [x[:, hi: hi + size, wi: wi + size, :] for hi, wi in coords_pad], axis=0
+        )
+        coord_tab = jnp.asarray(
+            np.array([(sfn(hi), sfn(wi)) for hi, wi in coords_pad], np.int32)
+        )
+        wmask_j = jnp.asarray(wmask[:, :, None], jnp.float32)
+        per_dev = len(coords_pad) // n_dev
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(),
+        )
+        def blend(tiles_l, coords_l, valid_l):
+            res = fn(tiles_l).astype(jnp.float32)  # [per_dev, osize, osize, out_c]
+            canvas = jnp.zeros((sfn(h), sfn(w), out_c), jnp.float32)
+            # the carry becomes device-varying after the first update; mark
+            # the init as varying over the mesh axis so scan types match
+            canvas = jax.lax.pvary(canvas, (axis,))
+
+            def body(acc, inp):
+                r, co, v = inp
+                cur = jax.lax.dynamic_slice(
+                    acc, (co[0], co[1], 0), (osize, osize, out_c)
+                )
+                return jax.lax.dynamic_update_slice(
+                    acc, cur + r * wmask_j * v, (co[0], co[1], 0)
+                ), None
+
+            canvas, _ = jax.lax.scan(body, canvas, (res, coords_l, valid_l))
+            return jax.lax.psum(canvas, axis)
+
+        out = blend(tiles, coord_tab, jnp.asarray(valid))
+        return out[None] / jnp.asarray(count)[None]
+
+    return tiled
 
 
 def tile_parallel_model_fn(model_fn: Callable, mesh: Mesh) -> Callable:

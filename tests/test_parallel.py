@@ -182,3 +182,43 @@ def test_tile_parallel_model_fn():
             lambda x: make_tiled_fn(sharded_model, size=8, stride=8, tiles_per_batch=16)(x)
         )(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_tile_sharded_fn_matches_single_device():
+    """make_tile_sharded_fn: tiles split over the data axis + psum-blended
+    canvas must match the single-device make_tiled_fn output (the 8x-SR
+    pod-slice mode, VERDICT r1 next #10)."""
+    from diffbir_tpu.parallel.inference import make_tile_sharded_fn
+    from diffbir_tpu.tiling import make_tiled_fn
+
+    k = jnp.asarray(np.random.default_rng(0).standard_normal((3, 3, 3, 3)), jnp.float32) * 0.2
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 56, 3)), jnp.float32)
+    mesh = make_mesh(n_data=8)
+    # 64x56 with 16/8 -> 7*6 = 42 tiles -> padded to 48 over 8 devices
+    sharded = make_tile_sharded_fn(conv, 16, 8, mesh)(x)
+    single = make_tiled_fn(conv, 16, 8)(x)
+    assert sharded.shape == single.shape == (1, 64, 56, 3)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-5
+    )
+
+
+def test_tile_sharded_fn_scale_up():
+    from diffbir_tpu.parallel.inference import make_tile_sharded_fn
+    from diffbir_tpu.tiling import make_tiled_fn
+
+    def up2(x):
+        return jnp.repeat(jnp.repeat(x * 1.5, 2, 1), 2, 2)
+
+    x = jnp.asarray(np.random.default_rng(2).random((1, 48, 48, 3)), jnp.float32)
+    mesh = make_mesh(n_data=8)
+    sharded = make_tile_sharded_fn(up2, 16, 8, mesh, scale_type="up", scale=2)(x)
+    single = make_tiled_fn(up2, 16, 8, scale_type="up", scale=2)(x)
+    assert sharded.shape == (1, 96, 96, 3)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
