@@ -105,7 +105,8 @@ class Pipeline:
          h_img, w_img, bs,
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
          vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
-         cldm_tiles_per_batch, control_interval, turbo_encoder) = key
+         cldm_tiles_per_batch, control_interval, turbo_encoder,
+         _guidance_fp) = key
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -320,6 +321,14 @@ class Pipeline:
             bool(cldm_tiled), int(cldm_tile_size), int(cldm_tile_stride),
             int(cldm_tiles_per_batch),
             int(control_interval), bool(turbo_encoder),
+            # guidance config is baked into the compiled program: key on it
+            # so swapping self.cond_fn (e.g. per demo request) recompiles
+            None if self.cond_fn is None else (
+                type(self.cond_fn).__name__, float(self.cond_fn.scale),
+                int(self.cond_fn.t_start), int(self.cond_fn.t_stop),
+                str(getattr(self.cond_fn, "space", "latent")),
+                int(self.cond_fn.repeat),
+            ),
         )
         fn = self._generate_fn(key)
         x = fn(self.params, cond_img, pos_tok, neg_tok, rng)
