@@ -1,0 +1,78 @@
+"""LLaVA decode throughput (tokens/s) — int8 vs bf16 weights.
+
+Weights-gated: with DIFFBIR_TPU_LLAVA_PATH set to a llava-1.5-hf dir it
+benches the real 7B model on the TPU; otherwise it runs a synthetic
+llama-7B-shaped decoder with random weights (same FLOPs/bytes — the
+numbers are representative, the tokens are garbage).
+
+Usage: PYTHONPATH=/root/.axon_site python scripts/bench_llava.py [--new 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--new", type=int, default=64, help="tokens to generate")
+    ap.add_argument("--prompt_len", type=int, default=576 + 48,
+                    help="prefill length (image tokens + text)")
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffbir_tpu.models import llava as L
+
+    path = os.environ.get("DIFFBIR_TPU_LLAVA_PATH", "")
+    if path and os.path.isdir(path):
+        llama_q, _, _, (cfg, _) = L.load_llava_params(path, quantize=True)
+        llama_f, _, _, _ = L.load_llava_params(path, quantize=False)
+        variants = {"int8": llama_q, "bf16": jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            llama_f,
+        )}
+    else:
+        cfg = L.LlamaConfig(dim=args.dim, n_layers=args.layers,
+                            n_heads=args.dim // 128, ffn_dim=11008)
+        print(f"no weights; synthetic llama {cfg.n_layers}x{cfg.dim}", flush=True)
+        params = L.init_llama_params(np.random.default_rng(0), cfg)
+        bf16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+        variants = {"int8": L.quantize_llama_params(params), "bf16": bf16}
+        del params
+
+    prompt = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (1, args.prompt_len, cfg.dim)
+        ).astype(np.float32) * 0.1,
+        jnp.bfloat16,
+    )
+
+    for name, p in variants.items():
+        fn = jax.jit(lambda pp, pr: L.greedy_decode(pp, cfg, pr, args.new, -1))
+        toks = fn(p, prompt)
+        _ = np.asarray(toks)  # force through the tunnel
+        t0 = time.time()
+        n_runs = 3
+        for _ in range(n_runs):
+            _ = np.asarray(fn(p, prompt))
+        dt = (time.time() - t0) / n_runs
+        print(f"{name}: {args.new / dt:.1f} tok/s  "
+              f"({dt / args.new * 1000:.1f} ms/tok, prefill {args.prompt_len})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

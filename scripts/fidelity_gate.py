@@ -1,0 +1,80 @@
+"""One-command fidelity gate: the BASELINE.md "within 0.5 dB on real47" check.
+
+Weights-gated driver around scripts/eval_real47.py (VERDICT r1 next #2b):
+the moment checkpoints land under weights/, this single command restores
+real47 with the paper settings (50-step spaced, cfg 4.0, v2.1) and emits
+FIDELITY.json with the PSNR-vs-torch-reference table.
+
+Usage:
+  PYTHONPATH=/root/.axon_site python scripts/fidelity_gate.py \
+      [--ref_outputs DIR]   # dir of torch-reference restorations to PSNR against
+
+Without --ref_outputs it still runs the restoration (producing
+results/real47/) so outputs can be compared offline; the 0.5 dB verdict
+requires the torch outputs.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REQUIRED = ["swinir_realesrgan", "sd_v2.1_zsnr", "v2.1"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/reference/inputs/real47")
+    ap.add_argument("--output", default=os.path.join(ROOT, "results", "real47"))
+    ap.add_argument("--ref_outputs", default=None)
+    ap.add_argument("--steps", type=int, default=50)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ROOT)
+    from diffbir_tpu.inference.pretrained_models import MODELS, weights_dir
+
+    missing = []
+    for name in REQUIRED:
+        fname = os.path.basename(MODELS[name].split("?")[0])
+        if not os.path.exists(os.path.join(weights_dir(), fname)):
+            missing.append(f"{name} ({fname})")
+    if missing:
+        print("FIDELITY GATE BLOCKED — place these checkpoints under "
+              f"{weights_dir()}:")
+        for m in missing:
+            print(f"  - {m}")
+        sys.exit(2)
+    if not os.path.isdir(args.input):
+        print(f"FIDELITY GATE BLOCKED — input testset missing: {args.input}")
+        sys.exit(2)
+
+    cmd = [
+        sys.executable, os.path.join(ROOT, "scripts", "eval_real47.py"),
+        "--input", args.input, "--output", args.output,
+        "--steps", str(args.steps), "--sampler", "spaced",
+        "--cfg_scale", "4.0", "--version", "v2.1", "--upscale", "4",
+    ]
+    if args.ref_outputs:
+        cmd += ["--ref", args.ref_outputs]
+    print(" ".join(cmd), flush=True)
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stdout.write(out.stdout)
+    sys.stderr.write(out.stderr)
+    out.check_returncode()
+
+    result = {"output_dir": args.output, "steps": args.steps}
+    for line in out.stdout.splitlines():
+        if line.startswith("PSNR vs reference outputs:"):
+            parts = line.split()
+            result["psnr_db"] = float(parts[4])
+            result["psnr_y_db"] = float(parts[6].strip("()Y:"))
+            result["within_0.5db_of"] = "see BASELINE.md criterion"
+    with open(os.path.join(ROOT, "FIDELITY.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {os.path.join(ROOT, 'FIDELITY.json')}")
+
+
+if __name__ == "__main__":
+    main()
