@@ -73,18 +73,26 @@ def _conv(p: Params, x: jax.Array, stride: int = 1, padding: int | None = None,
 
 def _gn_global(p: Params, x: jax.Array, groups: int = 32, eps: float = 1e-6) -> jax.Array:
     """GroupNorm with statistics over (tiles, h, w) jointly — identical math
-    to GroupNorm32(cross_batch=True) (layers.py:55-72)."""
+    to GroupNorm32(cross_batch=True) (layers.py). Uses the aligned
+    per-channel-moments formulation (no (g, c//g) minor-dim reshape of x)."""
     c = x.shape[-1]
+    cg = c // groups
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    shape = xf.shape
-    xg = xf.reshape(shape[:-1] + (groups, c // groups))
-    axes = tuple(range(0, xf.ndim - 1)) + (xf.ndim,)
-    mean = jnp.mean(xg, axis=axes, keepdims=True)
-    var = jnp.var(xg, axis=axes, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    out = xg.reshape(shape) * p["scale"] + p["bias"]
-    return out.astype(orig_dtype)
+    axes = tuple(range(0, xf.ndim - 1))
+    s1 = jnp.mean(xf, axis=axes)  # [C]
+    # two-pass per-channel variance + parallel-variance fold to per-group
+    # (the one-pass E[x^2]-E[x]^2 form cancels when mean^2 >> var)
+    d = xf - s1
+    v_c = jnp.mean(d * d, axis=axes)  # [C]
+    m_g = jnp.mean(s1.reshape(groups, cg), axis=-1)
+    dm = s1.reshape(groups, cg) - m_g[:, None]
+    var_g = jnp.mean(v_c.reshape(groups, cg) + dm * dm, axis=-1)
+    mean = jnp.repeat(m_g, cg)
+    inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), cg)
+    a = inv * p["scale"]
+    b = p["bias"] - mean * a
+    return (xf * a + b).astype(orig_dtype)
 
 
 def _resblock(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
