@@ -72,10 +72,11 @@ def attention(
     """Dispatching attention entry point used by all models."""
     impl = impl or _env_mode()
     if impl == "auto":
-        # measured on v5e (scripts/bench_attention.py): the Pallas kernel wins
-        # only for large self-attention (4096 tokens: 1.65x); for short-kv
-        # cross-attention and small maps XLA's fused attention is faster.
-        big_self = q.shape[1] >= 2048 and k.shape[1] == q.shape[1]
+        # measured on v5e (scripts/bench_attention.py, bf16 operands): the
+        # Pallas kernel wins for self-attention >= 1024 tokens (4096: x2.39,
+        # 1024: x1.22); for short-kv cross-attention and 256-token maps XLA's
+        # fused attention is faster.
+        big_self = q.shape[1] >= 1024 and k.shape[1] == q.shape[1]
         impl = "flash" if _on_tpu() and mask is None and bias is None and big_self else "xla"
     if impl == "flash":
         from . import flash_attention

@@ -1,0 +1,116 @@
+"""Ablation timing of ONE denoise step (batch-2 CFG ControlLDM forward).
+
+Times the full step, then variants with a component stubbed to identity, to
+attribute step latency: ControlNet, SpatialTransformers, GroupNorms, attention
+impl. Each variant is a separate jitted program (compile amortized by the
+persistent cache). Run on the real TPU:
+
+    PYTHONPATH=/root/.axon_site python scripts/profile_step_ablation.py
+"""
+
+import os
+import sys
+import time
+from contextlib import contextmanager
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+
+SIZE = int(os.environ.get("BENCH_SIZE", 512))
+N_INNER = 10  # chained steps inside one jit to hide dispatch latency
+
+
+def _bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+@contextmanager
+def patched(obj, name, repl):
+    orig = getattr(obj, name)
+    setattr(obj, name, repl)
+    try:
+        yield
+    finally:
+        setattr(obj, name, orig)
+
+
+def time_step(cldm, params, label, use_control=True):
+    lat = SIZE // 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, lat, lat, 4), jnp.float32)
+    c = {
+        "c_txt": jnp.zeros((2, 77, 1024), jnp.bfloat16),
+        "c_img": jnp.zeros((2, lat, lat, 4), jnp.float32),
+    }
+    t = jnp.full((2,), 500.0)
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            eps = cldm(params, acc, t, c,
+                       control_scales=1.0 if use_control else None)
+            return acc + 0.001 * eps
+
+        return jax.lax.fori_loop(0, N_INNER, body, x)
+
+    s = float(jnp.sum(loop(x)))  # compile
+    t0 = time.time()
+    s = float(jnp.sum(loop(x)))
+    per = (time.time() - t0) / N_INNER
+    print(f"{label:42s} {per * 1e3:8.2f} ms/step  (checksum {s:.2f})")
+    return per
+
+
+def main():
+    import diffbir_tpu.models.unet as unet_mod
+    import diffbir_tpu.models.layers as layers_mod
+
+    print(f"# device: {jax.devices()[0]}")
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    lat = SIZE // 8
+    params = _bf16(
+        jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (lat, lat))
+    )
+
+    full = time_step(cldm, params, "full step (unet+controlnet)")
+    no_cn = time_step(cldm, params, "no controlnet", use_control=False)
+    print(f"{'-> controlnet share':42s} {(full - no_cn) * 1e3:8.2f} ms")
+
+    st_call = unet_mod.SpatialTransformer.__call__
+
+    def st_identity(self, x, context):
+        return x
+
+    with patched(unet_mod.SpatialTransformer, "__call__", st_identity):
+        no_st = time_step(cldm, params, "spatial transformers -> identity")
+    print(f"{'-> transformer share':42s} {(full - no_st) * 1e3:8.2f} ms")
+
+    gn_call = layers_mod.GroupNorm32.__call__
+
+    def gn_affine_only(self, x):
+        cch = x.shape[-1]
+        scale = self.param("scale", jax.nn.initializers.ones, (cch,), jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros, (cch,), jnp.float32)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+    with patched(layers_mod.GroupNorm32, "__call__", gn_affine_only):
+        no_gn = time_step(cldm, params, "groupnorm stats -> affine only")
+    print(f"{'-> gn-stats share':42s} {(full - no_gn) * 1e3:8.2f} ms")
+
+    def attn_v(q, k, v, mask=None, bias=None, impl=None):
+        return v[:, : q.shape[1]] if v.shape[1] >= q.shape[1] else jnp.broadcast_to(
+            v[:, :1], q.shape
+        )
+
+    with patched(unet_mod, "attention", attn_v):
+        no_attn = time_step(cldm, params, "attention -> passthrough")
+    print(f"{'-> attention share':42s} {(full - no_attn) * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
