@@ -66,10 +66,10 @@ def _kernel(x_ref, wq_ref, scale_ref, out_ref, acc_ref):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def _pallas_quant_matmul(
     x: jax.Array, w_q: jax.Array, scale: jax.Array,
-    block_n: int = 512, block_k: int = 1024,
+    block_n: int = 512, block_k: int = 1024, interpret: bool = False,
 ) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -99,6 +99,7 @@ def _pallas_quant_matmul(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
     )(x, w_q, scale.reshape(1, n))
     return out[:m] if m_pad else out
 

@@ -49,6 +49,20 @@ def test_quant_matmul_batch_leading_dims():
     assert out.shape == (2, 5, 128)
 
 
+def test_quant_matmul_pallas_interpret_matches_xla():
+    """Kernel logic check on CPU via the pallas interpreter (multi-tile grid:
+    2 N-tiles x 2 K-tiles exercises the accumulator carry + final scale)."""
+    from diffbir_tpu.ops.quant_matmul import _pallas_quant_matmul
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    w_q, s = quantize_weight(w)
+    a = _pallas_quant_matmul(x, w_q, s, block_n=256, block_k=256, interpret=True)
+    b = quant_matmul(x, w_q, s, force="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
 def test_quant_matmul_pallas_matches_xla():
     rng = np.random.default_rng(3)
