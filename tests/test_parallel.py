@@ -222,3 +222,62 @@ def test_tile_sharded_fn_scale_up():
     single = make_tiled_fn(up2, 16, 8, scale_type="up", scale=2)(x)
     assert sharded.shape == (1, 96, 96, 3)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_stage2_train_step_fsdp_equivalence():
+    """ZeRO-style param+opt sharding: same loss/update as replicated DP, with
+    the large leaves actually sharded over the data axis."""
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.parallel.fsdp import fsdp_shard_params, fsdp_sharding_tree
+    from diffbir_tpu.schedule import Schedule
+    from diffbir_tpu.train import stage2
+
+    cldm = ControlLDM.tiny()
+    schedule = Schedule.create(timesteps=50)
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    opt = stage2.make_optimizer(1e-4)
+
+    batch = {
+        "gt": jnp.asarray(
+            np.random.default_rng(0).standard_normal((8, 64, 64, 3)) * 0.2, jnp.float32
+        ),
+        "lq": jnp.asarray(np.random.default_rng(1).random((8, 64, 64, 3)), jnp.float32),
+        "tokens": jnp.zeros((8, 77), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(7)
+    mesh = make_mesh(n_data=8)
+
+    # replicated DP baseline
+    step_fn = jax.jit(stage2.make_train_step(cldm, schedule, opt))
+    state_dp = jax.device_put(stage2.init_train_state(params, opt), NamedSharding(mesh, P()))
+    batch8 = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    rng8 = jax.device_put(rng, NamedSharding(mesh, P()))
+    new_dp, m_dp = step_fn(state_dp, batch8, rng8)
+
+    # FSDP: params + opt state sharded over data; out_shardings keep it so
+    state_fs = stage2.init_train_state(params, opt)
+    shardings = fsdp_sharding_tree(mesh, state_fs)
+    state_fs = fsdp_shard_params(mesh, state_fs)
+    step_fs = jax.jit(
+        stage2.make_train_step(cldm, schedule, opt),
+        in_shardings=(shardings, NamedSharding(mesh, P("data")), NamedSharding(mesh, P())),
+        out_shardings=(shardings, NamedSharding(mesh, P())),
+    )
+    new_fs, m_fs = step_fs(state_fs, batch8, rng8)
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_fs["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_dp["grad_norm"]), float(m_fs["grad_norm"]), rtol=1e-4
+    )
+
+    # the big conv kernels must actually be sharded over 'data'
+    flat = jax.tree_util.tree_leaves_with_path(new_fs.params["controlnet"])
+    sharded = [
+        (p, l) for p, l in flat
+        if l.ndim >= 2 and any(s == "data" for s in (l.sharding.spec or ()))
+    ]
+    assert sharded, "no controlnet leaf is data-sharded"
+    # updated params equal the DP update
+    a = jax.tree_util.tree_leaves(new_dp.params["controlnet"])[0]
+    b = jax.tree_util.tree_leaves(new_fs.params["controlnet"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -105,7 +105,25 @@ def main():
 
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P("data"))
-    state = jax.device_put(state, rep)
+    if tcfg.get("fsdp", False):
+        # ZeRO-style: every param leaf + AdamW moment sharded over the data
+        # axis (largest divisible dim); XLA all-gathers weights per use and
+        # reduce-scatters grads. Cuts the ~6 GB replicated state n_data-fold.
+        from diffbir_tpu.parallel.fsdp import fsdp_shard_params, fsdp_sharding_tree
+
+        state_shardings = fsdp_sharding_tree(mesh, state)
+        state = fsdp_shard_params(mesh, state)
+        train_step = jax.jit(
+            stage2.make_train_step(
+                cldm, schedule, optimizer, cleaner_apply,
+                noise_aug_timestep=int(tcfg.get("noise_aug_timestep", 0)),
+            ),
+            donate_argnums=(0,),
+            out_shardings=(state_shardings, None),
+        )
+        print(f"fsdp: state sharded over data={n_data}")
+    else:
+        state = jax.device_put(state, rep)
 
     # ---- data (degradation synthesis prefetched on a worker thread) ----
     from diffbir_tpu.dataset.prefetch import PrefetchIterator
