@@ -31,10 +31,19 @@ class TrainState:
     step: jax.Array
 
 
-def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0):
-    """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8)."""
-    return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay)
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
+                   accum_steps: int = 1):
+    """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8).
+
+    ``accum_steps > 1`` wraps the update in optax.MultiSteps (gradient
+    accumulation): the reference recipe's global batch 256
+    (train_stage2.yaml) then fits on few chips — k micro-batches average
+    into one AdamW step, equivalent to one k-times-larger batch."""
+    opt = optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                      weight_decay=weight_decay)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
 
 
 def init_train_state(params, optimizer) -> TrainState:

@@ -63,3 +63,42 @@ def test_orbax_roundtrip_resumes_exactly(trainer, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         cont.params["controlnet"], resumed.params["controlnet"],
     )
+
+
+def test_gradient_accumulation_equivalence():
+    """accum_steps=2 with the SAME micro-batch+rng twice == one plain AdamW
+    step on that batch (mean of identical grads is the grad); and the params
+    must not move until the k-th micro-step."""
+    import numpy as np
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.schedule import Schedule
+
+    cldm = ControlLDM.tiny()
+    schedule = Schedule.create(timesteps=50)
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    batch = {
+        "gt": jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 64, 3)) * 0.2, jnp.float32
+        ),
+        "lq": jnp.asarray(np.random.default_rng(1).random((2, 64, 64, 3)), jnp.float32),
+        "tokens": jnp.zeros((2, 77), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(3)
+
+    opt_plain = make_optimizer(1e-3)
+    step_plain = jax.jit(make_train_step(cldm, schedule, opt_plain))
+    s_plain, _ = step_plain(init_train_state(params, opt_plain), batch, rng)
+
+    opt_acc = make_optimizer(1e-3, accum_steps=2)
+    step_acc = jax.jit(make_train_step(cldm, schedule, opt_acc))
+    s1, _ = step_acc(init_train_state(params, opt_acc), batch, rng)
+    # micro-step 1: accumulation only, no param change
+    l0 = jax.tree_util.tree_leaves(params["controlnet"])[0]
+    l1 = jax.tree_util.tree_leaves(s1.params["controlnet"])[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    s2, _ = step_acc(s1, batch, rng)
+
+    a = jax.tree_util.tree_leaves(s_plain.params["controlnet"])
+    b = jax.tree_util.tree_leaves(s2.params["controlnet"])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)

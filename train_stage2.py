@@ -84,7 +84,10 @@ def main():
     tokenizer = get_tokenizer()
 
     # ---- training state ----
-    optimizer = stage2.make_optimizer(float(tcfg["learning_rate"]))
+    optimizer = stage2.make_optimizer(
+        float(tcfg["learning_rate"]),
+        accum_steps=int(tcfg.get("accum_steps", 1)),
+    )
     state = stage2.init_train_state(params, optimizer)
     # donate the state: otherwise old+new TrainState (params + AdamW
     # moments, ~6 GB at SD2.1 scale) are both live across the update
