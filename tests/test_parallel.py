@@ -281,3 +281,29 @@ def test_stage2_train_step_fsdp_equivalence():
     a = jax.tree_util.tree_leaves(new_dp.params["controlnet"])[0]
     b = jax.tree_util.tree_leaves(new_fs.params["controlnet"])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_spatial_parallel_forward_exact():
+    """H-sharded ControlLDM forward (GSPMD halo exchange) == single device."""
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.parallel.inference import spatial_parallel, spatial_shard
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (32, 32))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 4))
+    cond = {"c_txt": jnp.ones((1, 77, 64)) * 0.1,
+            "c_img": jnp.ones((1, 32, 32, 4)) * 0.2}
+    t = jnp.full((1,), 500.0)
+
+    ref = np.asarray(jax.jit(lambda p, x: cldm(p, x, t, cond))(params, x))
+
+    mesh = make_mesh(n_data=8)
+    rep = NamedSharding(mesh, P())
+    sp = spatial_shard(mesh)
+    fn = spatial_parallel(lambda p, x: cldm(p, x, jax.device_put(t, rep),
+                                            {"c_txt": cond["c_txt"],
+                                             "c_img": jax.lax.with_sharding_constraint(
+                                                 jnp.asarray(cond["c_img"]), sp)}),
+                          mesh)
+    out = np.asarray(fn(jax.device_put(params, rep), jax.device_put(x, sp)))
+    np.testing.assert_array_equal(out, ref)
