@@ -127,15 +127,14 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 def _attention(q, k, v, mask) -> jax.Array:
-    """q [B,Tq,H,Dh], k/v [B,Tk,H,Dh], mask [Tq,Tk] or None; fp32 softmax."""
-    dh = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                        k.astype(jnp.float32)) / np.sqrt(dh)
-    if mask is not None:
-        logits = logits + mask
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
-    return out
+    """q [B,Tq,H,Dh], k/v [B,Tk,H,Dh], mask [Tq,Tk] additive or None.
+
+    Delegates to the shared dispatching attention op (fp32 logits/softmax,
+    flash kernel when shapes qualify) instead of a private einsum copy."""
+    from ..ops.attention import attention
+
+    bias = mask[None, None] if mask is not None else None
+    return attention(q, k, v, bias=bias)
 
 
 # --------------------------------------------------------------------------- #
@@ -319,8 +318,11 @@ def init_llama_params(rng: np.random.Generator, cfg: LlamaConfig) -> Dict:
     }
 
 
+# lm_head is NOT quantized: bitsandbytes' load_in_8bit (the reference LLaVA
+# builder) auto-skips it (llm_int8_skip_modules=["lm_head"]) because logit
+# perturbation flips near-tie greedy tokens; match that.
 _QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
-               "gate_proj", "up_proj", "down_proj", "lm_head")
+               "gate_proj", "up_proj", "down_proj")
 
 
 def quantize_llama_params(params: Dict) -> Dict:

@@ -23,6 +23,14 @@ axis. The network runs *layer by layer over all tiles*:
 The forward is a hand-written pytree program over the flax param tree of
 ``models.vae`` (module names are identical), so the exact-equality contract
 with ``Decoder(gn_cross=True)`` / ``Encoder(gn_cross=True)`` is testable.
+
+Note on the reference's "fast mode" (tilevae.py:476-497, GN stats estimated
+from a downsampled image to avoid a second pass over all tiles): not needed
+here. The reference pays a full extra forward because its stats pass and
+apply pass are separate task-queue sweeps; in this design the stats are one
+fused reduction over the already-resident layer activation, so the exact
+path IS the fast path (estimation would save only the reduction FLOPs,
+which are negligible next to the convs).
 """
 
 from __future__ import annotations

@@ -47,14 +47,8 @@ def fsdp_shard_params(mesh: Mesh, params: Any) -> Any:
     """Place a param (or optimizer-state) tree on the mesh with FSDP(+TP)
     shardings. Works for any pytree of arrays (opt-state moments get the
     same layout as their params because they have the same shapes)."""
-    n_data = mesh.shape["data"]
-    n_tensor = mesh.shape.get("tensor", 1)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    out = []
-    for path, leaf in flat:
-        spec = fsdp_spec(path, leaf, n_data, n_tensor)
-        out.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    shardings = fsdp_sharding_tree(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
 def fsdp_sharding_tree(mesh: Mesh, params: Any) -> Any:

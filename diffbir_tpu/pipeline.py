@@ -126,7 +126,9 @@ class Pipeline:
             )
 
         # sync_gn VAE tiling supports batch 1 only; fall back to blend else
-        enc_tile_mode = vae_tile_mode if bs == 1 else "blend"
+        # (applies to BOTH the tiled encoder and the tiled decoder)
+        eff_tile_mode = vae_tile_mode if bs == 1 else "blend"
+        enc_tile_mode = eff_tile_mode
 
         def generate(params, cond_img, pos_tok, neg_tok, rng):
             h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
@@ -185,8 +187,10 @@ class Pipeline:
                         "control_interval > 1 requires a stateful-scan sampler "
                         f"(one of {', '.join(turbo_ok)})"
                     )
+                # cache shapes must match the (possibly x8-padded) latent the
+                # sampler actually runs on, not the pre-pad (h1, w1)
                 model_fn = cldm.make_cached_control_model(
-                    params, strength, control_interval, (h1, w1),
+                    params, strength, control_interval, (h2, w2),
                     call_batch=bs * (2 if use_cfg else 1),
                     cache_unet_encoder=turbo_encoder,
                 )
@@ -244,7 +248,7 @@ class Pipeline:
             z = z[:, :h1, :w1, :]  # drop UNet latent padding before decode
             x = cldm.vae_decode(
                 params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8,
-                tile_mode=vae_tile_mode,
+                tile_mode=eff_tile_mode,
             )
             return x
 

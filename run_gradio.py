@@ -21,6 +21,7 @@ import base64
 import io
 import json
 import os
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -58,13 +59,22 @@ def build_runner(args):
             cleaner_tiled=False, cleaner_tile_size=512, cleaner_tile_stride=256,
         )
 
-    # eager load both task pipelines (reference run_gradio.py:52-100)
-    pipelines = {"sr": BSRInferenceLoop(loop_args("sr")).pipeline}
-    if args.tasks != "sr":
+    # eager load the requested task pipelines (reference run_gradio.py:52-100)
+    wanted = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    unknown = [t for t in wanted if t not in ("sr", "face")]
+    if unknown:
+        raise ValueError(f"unknown --tasks entries {unknown}; valid: sr, face")
+    pipelines = {}
+    if "sr" in wanted:
+        pipelines["sr"] = BSRInferenceLoop(loop_args("sr")).pipeline
+    if "face" in wanted:
         try:
             pipelines["face"] = BFRInferenceLoop(loop_args("face")).pipeline
-        except Exception as e:  # face weights absent: demo degrades to sr-only
-            print(f"face pipeline unavailable ({e}); serving task=sr only")
+        except Exception as e:  # face weights absent: demo degrades
+            print(f"face pipeline unavailable ({e})")
+    if not pipelines:
+        raise RuntimeError("no task pipeline could be loaded")
+    _run_lock = threading.Lock()
 
     def process(
         image: np.ndarray,
@@ -115,33 +125,37 @@ def build_runner(args):
             (int(w * up), int(h * up)), Image.BICUBIC
         )
         batch = np.asarray(img)[None]
-        if guidance and g_scale > 0:
-            cls = MSEGuidance if g_loss == "mse" else WeightedMSEGuidance
-            pipe.cond_fn = cls(
-                scale=float(g_scale), t_start=int(g_start), t_stop=int(g_stop),
-                space=g_space, repeat=int(g_repeat),
+        # one request at a time: the HTTP front-end is threaded, but the
+        # pipeline is shared mutable state (cond_fn below) and the single
+        # chip serializes concurrent programs badly anyway (CLAUDE.md)
+        with _run_lock:
+            if guidance and g_scale > 0:
+                cls = MSEGuidance if g_loss == "mse" else WeightedMSEGuidance
+                pipe.cond_fn = cls(
+                    scale=float(g_scale), t_start=int(g_start), t_stop=int(g_stop),
+                    space=g_space, repeat=int(g_repeat),
+                )
+            else:
+                pipe.cond_fn = None
+            out = pipe.run(
+                batch, steps=int(steps), strength=float(strength),
+                pos_prompt=pos_prompt, neg_prompt=neg_prompt,
+                cfg_scale=float(cfg_scale), sampler_type=sampler, seed=int(seed),
+                noise_aug=int(noise_aug), rescale_cfg=bool(rescale_cfg),
+                start_point_type=start_point_type,
+                cleaner_tiled=bool(cleaner_tiled),
+                cleaner_tile_size=int(cleaner_tile_size),
+                cleaner_tile_stride=int(cleaner_tile_stride),
+                vae_encoder_tiled=bool(vae_encoder_tiled),
+                vae_encoder_tile_size=int(vae_encoder_tile_size),
+                vae_decoder_tiled=bool(vae_decoder_tiled),
+                vae_decoder_tile_size=int(vae_decoder_tile_size),
+                cldm_tiled=bool(cldm_tiled),
+                cldm_tile_size=int(cldm_tile_size),
+                cldm_tile_stride=int(cldm_tile_stride),
+                s_churn=float(s_churn), s_tmin=float(s_tmin), s_tmax=float(s_tmax),
+                s_noise=float(s_noise), order=int(order), eta=float(eta),
             )
-        else:
-            pipe.cond_fn = None
-        out = pipe.run(
-            batch, steps=int(steps), strength=float(strength),
-            pos_prompt=pos_prompt, neg_prompt=neg_prompt,
-            cfg_scale=float(cfg_scale), sampler_type=sampler, seed=int(seed),
-            noise_aug=int(noise_aug), rescale_cfg=bool(rescale_cfg),
-            start_point_type=start_point_type,
-            cleaner_tiled=bool(cleaner_tiled),
-            cleaner_tile_size=int(cleaner_tile_size),
-            cleaner_tile_stride=int(cleaner_tile_stride),
-            vae_encoder_tiled=bool(vae_encoder_tiled),
-            vae_encoder_tile_size=int(vae_encoder_tile_size),
-            vae_decoder_tiled=bool(vae_decoder_tiled),
-            vae_decoder_tile_size=int(vae_decoder_tile_size),
-            cldm_tiled=bool(cldm_tiled),
-            cldm_tile_size=int(cldm_tile_size),
-            cldm_tile_stride=int(cldm_tile_stride),
-            s_churn=float(s_churn), s_tmin=float(s_tmin), s_tmax=float(s_tmax),
-            s_noise=float(s_noise), order=int(order), eta=float(eta),
-        )
         return out[0]
 
     process.tasks = list(pipelines)
@@ -160,7 +174,8 @@ def run_gradio(process, port):
                 with gr.Accordion("Basic Options", open=True):
                     with gr.Row():
                         task = gr.Dropdown(
-                            choices=process.tasks, value="sr", label="task"
+                            choices=process.tasks, value=process.tasks[0],
+                            label="task"
                         )
                         upscale = gr.Slider(1, 8, value=4, step=1, label="upscale")
                     with gr.Row():
@@ -267,7 +282,11 @@ class _Handler(BaseHTTPRequestHandler):
             img = np.array(
                 Image.open(io.BytesIO(base64.b64decode(req.pop("image")))).convert("RGB")
             )
-            out = type(self).process(img, **req)
+            # ignore unknown keys (older clients may send extra fields)
+            import inspect
+
+            known = set(inspect.signature(type(self).process).parameters) - {"image"}
+            out = type(self).process(img, **{k: v for k, v in req.items() if k in known})
             buf = io.BytesIO()
             Image.fromarray(out).save(buf, "PNG")
             body = json.dumps({"image": base64.b64encode(buf.getvalue()).decode()}).encode()

@@ -17,6 +17,7 @@ requires the torch outputs.
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -66,10 +67,12 @@ def main():
 
     result = {"output_dir": args.output, "steps": args.steps}
     for line in out.stdout.splitlines():
-        if line.startswith("PSNR vs reference outputs:"):
-            parts = line.split()
-            result["psnr_db"] = float(parts[4])
-            result["psnr_y_db"] = float(parts[6].strip("()Y:"))
+        m = re.match(
+            r"PSNR vs reference outputs: ([\d.]+) dB \(Y: ([\d.]+) dB\)", line
+        )
+        if m:
+            result["psnr_db"] = float(m.group(1))
+            result["psnr_y_db"] = float(m.group(2))
             result["within_0.5db_of"] = "see BASELINE.md criterion"
     with open(os.path.join(ROOT, "FIDELITY.json"), "w") as f:
         json.dump(result, f, indent=2)

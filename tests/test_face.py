@@ -21,13 +21,15 @@ from diffbir_tpu.utils.face import FaceRestoreHelper
 @pytest.fixture(scope="module")
 def retinaface():
     model = RetinaFace()
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # jit everything: eager flax init/apply of a resnet-50-scale model takes
+    # minutes on this 1-vCPU host (CLAUDE.md)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     return model, params
 
 
 def test_retinaface_forward_shapes(retinaface):
     model, params = retinaface
-    loc, conf, landms = model.apply(params, jnp.zeros((1, 64, 64, 3)))
+    loc, conf, landms = jax.jit(model.apply)(params, jnp.zeros((1, 64, 64, 3)))
     # anchors at 64x64: (8^2 + 4^2 + 2^2) * 2 = 168
     assert loc.shape == (1, 168, 4)
     assert conf.shape == (1, 168, 2)
@@ -37,7 +39,7 @@ def test_retinaface_forward_shapes(retinaface):
 def test_prior_boxes_match_head_count(retinaface):
     model, params = retinaface
     for h, w in [(64, 64), (96, 64), (160, 128)]:
-        loc, _, _ = model.apply(params, jnp.zeros((1, h, w, 3)))
+        loc, _, _ = jax.jit(model.apply)(params, jnp.zeros((1, h, w, 3)))
         assert prior_boxes(h, w).shape == (loc.shape[1], 4)
 
 
@@ -69,15 +71,15 @@ TINY_PARSE = dict(in_size=64, out_size=64, min_feat_size=16, base_ch=16,
 
 def test_parsenet_shapes():
     model = ParseNet(**TINY_PARSE)
-    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
-    mask, img = model.apply(params, jnp.zeros((2, 64, 64, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    mask, img = jax.jit(model.apply)(params, jnp.zeros((2, 64, 64, 3)))
     assert mask.shape == (2, 64, 64, 19)
     assert img.shape == (2, 64, 64, 3)
 
 
 def test_face_parser_classmap():
     model = ParseNet(**TINY_PARSE)
-    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
     parser = FaceParser(params, model=model)
     classes = parser.parse(np.random.default_rng(3).random((64, 64, 3)))
     assert classes.shape == (64, 64)
@@ -100,7 +102,7 @@ def test_unaligned_face_e2e_with_parse_mask():
     """detect (synthetic) -> align -> 'restore' -> parse-mask paste-back:
     the full unaligned-BFR helper path including _fuse_parse_mask."""
     model = ParseNet(**TINY_PARSE)
-    params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
 
     class TinyParser:
         def parse(self, face_rgb01):

@@ -137,7 +137,8 @@ def test_quantized_llama_decodes(tiny_llama):
     qparams = L.quantize_llama_params(params)
     # the big linears got quantized, embeddings/norms did not
     assert "w_q" in qparams["layers"][0]["self_attn"]["q_proj"]
-    assert "w_q" in qparams["lm_head"]
+    # lm_head stays unquantized (bitsandbytes llm_int8_skip_modules parity)
+    assert "w_q" not in qparams["lm_head"]
     assert "weight" in qparams["embed_tokens"]
     rng = np.random.default_rng(3)
     prompt = jnp.asarray(rng.standard_normal((1, 5, cfg.dim)).astype(np.float32) * 0.5)

@@ -127,3 +127,28 @@ def test_turbo_encoder_caching(tiny_pipe):
     )
     assert out.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(out.astype(np.float32)))
+
+
+def test_turbo_with_x8_padded_latent(tiny_pipe):
+    """Regression: vae_encoder_tiled pads the condition to x8 only, so the
+    UNet latent gets padded to x8 inside generate(); the turbo cache buffers
+    must be built at the PADDED size or the scan carry mismatches."""
+    lq = np.random.default_rng(3).integers(0, 255, (1, 72, 88, 3), dtype=np.uint8)
+    out = tiny_pipe.run(
+        lq, steps=4, cfg_scale=2.0, sampler_type="spaced",
+        vae_encoder_tiled=True, vae_encoder_tile_size=64,
+        control_interval=2,
+    )
+    assert out.shape == (1, 72, 88, 3)
+
+
+def test_batch_sync_gn_decoder_falls_back(tiny_pipe):
+    """Regression: sync_gn VAE tiling is batch-1 only; a batch-2 run with a
+    tiled DECODER must fall back to blend instead of tripping the assert."""
+    lq = np.random.default_rng(4).integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    out = tiny_pipe.run(
+        lq, steps=2, cfg_scale=1.5, sampler_type="spaced",
+        vae_decoder_tiled=True, vae_decoder_tile_size=32,
+        vae_tile_mode="sync_gn",
+    )
+    assert out.shape == (2, 64, 64, 3)
