@@ -1,8 +1,9 @@
 """TPU-native LLaVA-1.5 captioner (flax/JAX forward, int8 Pallas matmuls).
 
-Behavioral parity target: /root/reference/diffbir/utils/caption.py:122-149
-(llava-v1.5-7b, prompt "Provide a very short description of this photo.",
-greedy generation) and the vendored llava/ stack it drives. The reference
+Behavioral parity target: /root/reference/diffbir/utils/caption.py:84-149
+(llava-v1.5-7b, the llava_v1 conversation template around the question
+"Please give me a very short description of this image.", greedy
+generation) and the vendored llava/ stack it drives. The reference
 quantizes with bitsandbytes (llava/model/builder.py:26-80); here the LM's
 linears run int8 weight-only through ops/quant_matmul.py and the whole
 caption (vision tower -> projector -> prefill -> lax.scan greedy decode with
@@ -21,7 +22,15 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
-PROMPT = "Provide a very short description of this photo."
+# reference caption.py:84 question + llava_v1 template (llava/conversation.py
+# conv_llava_v1: system preamble, sep " ", roles USER/ASSISTANT)
+QUESTION = "Please give me a very short description of this image."
+SYSTEM = (
+    "A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's "
+    "questions."
+)
+PROMPT = QUESTION  # retained name for back-compat imports
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
@@ -68,7 +77,9 @@ class LLaVATPUCaptioner:
         self.max_new_tokens = max_new_tokens
         self.eos_id = int(self.tokenizer.eos_token_id)
 
-        prompt = f"USER: <image>\n{PROMPT} ASSISTANT:"
+        # conv_llava_v1.get_prompt() with one USER turn containing <image>:
+        # system + " " + "USER: <image>\n<question>" + " " + "ASSISTANT:"
+        prompt = f"{SYSTEM} USER: <image>\n{QUESTION} ASSISTANT:"
         pre_txt, post_txt = prompt.split("<image>")
         pre_ids = self.tokenizer(pre_txt, return_tensors="np").input_ids[0]
         post_ids = self.tokenizer(

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import nearest_upsample_2x
 from .retinaface import FrozenBN
 
 
@@ -37,10 +38,7 @@ class ConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.scale == "up":
-            b, h, w, c = x.shape
-            x = jnp.broadcast_to(
-                x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
-            ).reshape(b, h * 2, w * 2, c)
+            x = nearest_upsample_2x(x)
         pad = self.kernel // 2
         if pad:
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
@@ -100,8 +98,11 @@ class ParseNet(nn.Module):
         down_steps = int(math.log2(self.in_size // min_feat))
         up_steps = int(math.log2(self.out_size // min_feat))
 
-        # encoder (Sequential indices 0..down_steps)
-        h = ConvLayer(self.base_ch, 3, norm=True, relu=True, name="encoder.0")(x)
+        # encoder (Sequential indices 0..down_steps). The first facexlib
+        # layer is ConvLayer(3, base_ch, 3, 1): norm_type/relu_type default
+        # to 'none', so it is a BARE biased conv (no BN, no LeakyReLU) —
+        # the published checkpoint has encoder.0.conv2d.bias and no norm keys.
+        h = ConvLayer(self.base_ch, 3, name="encoder.0")(x)
         head_ch = self.base_ch
         for i in range(down_steps):
             c_in, c_out = clip(head_ch), clip(head_ch * 2)

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
+from .layers import nearest_upsample_2x
 
 Params = Any
 
@@ -130,12 +131,9 @@ def _attnblock(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
 
 
 def _upsample(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:
-    def seg(v):
-        b, h, w, c = v.shape
-        v = jnp.broadcast_to(v[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        return _conv(p["conv"], v.reshape(b, h * 2, w * 2, c), dtype=dtype)
-
-    return _map_chunks(seg, x, chunk)
+    return _map_chunks(
+        lambda v: _conv(p["conv"], nearest_upsample_2x(v), dtype=dtype), x, chunk
+    )
 
 
 def _downsample(p: Params, x: jax.Array, chunk: int, dtype) -> jax.Array:

@@ -95,7 +95,7 @@ def make_tile_sharded_fn(
             np.array([(sfn(hi), sfn(wi)) for hi, wi in coords_pad], np.int32)
         )
         wmask_j = jnp.asarray(wmask[:, :, None], jnp.float32)
-        per_dev = len(coords_pad) // n_dev
+        assert len(coords_pad) % n_dev == 0
 
         @functools.partial(
             shard_map, mesh=mesh,

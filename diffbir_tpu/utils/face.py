@@ -111,6 +111,9 @@ class FaceRestoreHelper:
     ):
         self.upscale_factor = upscale_factor
         self.face_size = face_size
+        # facexlib detect_faces default conf threshold (reference face.py:209
+        # calls it with the default)
+        self.det_threshold = 0.8
         self.face_template = FFHQ_TEMPLATE_512 * (face_size / 512.0)
         self.eye_dist_threshold = eye_dist_threshold
         self._landmarks_fn = landmarks_fn
@@ -132,9 +135,17 @@ class FaceRestoreHelper:
         self.inverse_affine_matrices = []
 
     def read_image(self, img: np.ndarray) -> None:
-        """img: uint8 HWC, RGB (the repo convention; grayscale broadcast)."""
+        """img: uint8 HWC, RGB (the repo convention; grayscale broadcast).
+
+        Small inputs are upscaled so the min side is >= 512 BEFORE detection
+        and paste-back (reference face.py:140-142) — detection scale and the
+        merged-output geometry match the reference for small images."""
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
+        if min(img.shape[:2]) < 512:
+            f = 512.0 / min(img.shape[:2])
+            img = cv2.resize(img, (0, 0), fx=f, fy=f,
+                             interpolation=cv2.INTER_LINEAR)
         self.input_img = img
 
     def _detect(self, img_rgb) -> np.ndarray:
@@ -145,7 +156,9 @@ class FaceRestoreHelper:
         if self._detector is None:
             self._detector = load_jax_detector()
         if self._detector is not None:
-            bboxes = self._detector.detect_faces(img_rgb[:, :, ::-1], 0.97)
+            bboxes = self._detector.detect_faces(
+                img_rgb[:, :, ::-1], self.det_threshold
+            )
             return np.array([b[5:15].reshape(5, 2) for b in bboxes])
         try:
             from facexlib.detection import init_detection_model
@@ -155,7 +168,9 @@ class FaceRestoreHelper:
             import torch
 
             with torch.no_grad():
-                bboxes = self._det_model.detect_faces(img_rgb[:, :, ::-1], 0.97)
+                bboxes = self._det_model.detect_faces(
+                    img_rgb[:, :, ::-1], self.det_threshold
+                )
             return np.array([b[5:15].reshape(5, 2) for b in bboxes])
         except ImportError as e:
             raise RuntimeError(
@@ -170,12 +185,21 @@ class FaceRestoreHelper:
         scale = 1.0
         if resize is not None:
             h, w = img.shape[:2]
-            scale = resize / min(h, w)
-            img = cv2.resize(img, (int(w * scale), int(h * scale)), interpolation=cv2.INTER_LINEAR)
+            # reference face.py:201-205: only ever scale UP for detection
+            scale = max(1.0, resize / min(h, w))
+            if scale != 1.0:
+                img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                                 interpolation=cv2.INTER_LINEAR)
         landmarks = self._detect(img)
         for lm in landmarks:
             lm = lm / scale
-            eye_dist = np.linalg.norm(lm[0] - lm[1])
+            # reference metric (face.py:212): norm([bbox[6]-bbox[8],
+            # bbox[7]-bbox[9]]) = [lm0.y-lm1.y, lm1.x-lm2.x] — NOT the true
+            # eye distance (~half of it for frontal faces); replicated
+            # exactly so the same faces pass the threshold
+            eye_dist = np.linalg.norm(
+                [lm[0][1] - lm[1][1], lm[1][0] - lm[2][0]]
+            )
             if self.eye_dist_threshold is not None and eye_dist < self.eye_dist_threshold:
                 continue
             self.all_landmarks_5.append(lm.astype(np.float32))

@@ -120,6 +120,9 @@ def test_unaligned_face_e2e_with_parse_mask():
     )
     img = (np.random.default_rng(5).random((256, 256, 3)) * 255).astype(np.uint8)
     helper.read_image(img)
+    # reference parity: inputs are upscaled to min side 512 before detection
+    base = helper.input_img
+    assert base.shape == (512, 512, 3)
     n = helper.get_face_landmarks_5()
     assert n == 1
     helper.align_warp_face()
@@ -130,10 +133,10 @@ def test_unaligned_face_e2e_with_parse_mask():
     helper.add_restored_face(restored)
     helper.get_inverse_affine()
     merged = helper.paste_faces_to_input_image()
-    assert merged.shape == (256, 256, 3) and merged.dtype == np.uint8
+    assert merged.shape == (512, 512, 3) and merged.dtype == np.uint8
     # the face region changed, distant corners did not
-    assert np.any(merged[100:160, 100:160] != img[100:160, 100:160])
-    np.testing.assert_array_equal(merged[:10, :10], img[:10, :10])
+    assert np.any(merged[200:320, 200:320] != base[200:320, 200:320])
+    np.testing.assert_array_equal(merged[:10, :10], base[:10, :10])
 
 
 def test_no_parse_fallback_paste():
@@ -141,10 +144,10 @@ def test_no_parse_fallback_paste():
         upscale_factor=2.0, face_size=512, landmarks_fn=_one_face_landmarks
     )
     img = (np.random.default_rng(6).random((128, 128, 3)) * 255).astype(np.uint8)
-    helper.read_image(img)
+    helper.read_image(img)  # -> min side 512 (reference parity)
     assert helper.get_face_landmarks_5() == 1
     helper.align_warp_face()
     helper.add_restored_face(helper.cropped_faces[0])
     helper.get_inverse_affine()
     merged = helper.paste_faces_to_input_image()
-    assert merged.shape == (256, 256, 3)
+    assert merged.shape == (1024, 1024, 3)  # 512 * upscale 2
