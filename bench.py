@@ -21,6 +21,10 @@ import jax
 if os.environ.get("DIFFBIR_TPU_BENCH_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["DIFFBIR_TPU_BENCH_PLATFORM"])
 
+from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 
 from diffbir_tpu.models.cldm import ControlLDM

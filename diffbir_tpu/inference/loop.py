@@ -103,7 +103,10 @@ class InferenceLoop:
         raise NotImplementedError
 
     def load_captioner(self) -> None:
-        self.captioner = build_captioner(getattr(self.args, "captioner", "none"))
+        self.captioner = build_captioner(
+            getattr(self.args, "captioner", "none"),
+            llava_bit=str(getattr(self.args, "llava_bit", "4")),
+        )
 
     # ------------------------------------------------------------------ #
     def load_lq(self) -> Generator[Image.Image, None, None]:

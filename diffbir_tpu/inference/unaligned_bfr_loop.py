@@ -92,12 +92,20 @@ class UnAlignedBFRInferenceLoop(InferenceLoop):
             helper.align_warp_face()
             print(f"detected {n} faces in {file_stem}")
             self._helper = helper
-            self._restored_faces = []
+            # face_samples[face_idx][sample_idx] — paired per sample at paste
+            # time (reference unaligned_bfr_loop.py:177-199 transposes)
+            self._face_samples = {}
             for i, face in enumerate(helper.cropped_faces):
+                Image.fromarray(face).save(
+                    os.path.join(self.cropped_face_dir, f"{file_stem}_face{i}.png")
+                )
                 self.loop_ctx.update(is_face=True, face_idx=i, file_stem=file_stem)
                 yield Image.fromarray(face)
             self.loop_ctx.update(is_face=False, file_stem=file_stem)
-            yield upscaled
+            # v2's BSRNetPipeline upscales internally (bg_requires_upscale is
+            # False in the reference) — feed the ORIGINAL lq to avoid running
+            # the cleaner+diffusion at upscale^2 the pixel count
+            yield lq if self.args.version == "v2" else upscaled
 
     def after_load_lq(self, lq: Image.Image) -> np.ndarray:
         self.pipeline = (
@@ -111,13 +119,20 @@ class UnAlignedBFRInferenceLoop(InferenceLoop):
         stem = self.loop_ctx["file_stem"]
         if self.loop_ctx["is_face"]:
             idx = self.loop_ctx["face_idx"]
-            img.save(os.path.join(self.restored_face_dir, f"{stem}_face{idx}_{sample_idx}.png"))
-            self._restored_faces.append(np.array(img))
+            name = f"{stem}_face{idx}_{sample_idx}.png"
+            img.save(os.path.join(self.restored_face_dir, name))
+            self._face_samples.setdefault(idx, {})[sample_idx] = np.array(img)
+            self._prompts.append((name, self.loop_ctx.get("prompt", "")))
         else:
             img.save(os.path.join(self.restored_bg_dir, f"{stem}_{sample_idx}.png"))
             helper = self._helper
-            helper.restored_faces = self._restored_faces
-            helper.get_inverse_affine()
+            if not helper.inverse_affine_matrices:
+                helper.get_inverse_affine()
+            # pair THIS background sample with the same-index face samples
+            helper.restored_faces = [
+                self._face_samples[f][sample_idx]
+                for f in sorted(self._face_samples)
+            ]
             merged = helper.paste_faces_to_input_image(np.array(img))
             out = Image.fromarray(merged)
             name = f"{stem}_{sample_idx}.png" if self.args.n_samples > 1 else f"{stem}.png"

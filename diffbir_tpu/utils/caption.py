@@ -34,7 +34,10 @@ class EmptyCaptioner(Captioner):
         return ""
 
 
-def build_captioner(name: str) -> Captioner:
+def build_captioner(name: str, llava_bit: str = "4") -> Captioner:
+    """``llava_bit``: "4" | "8" | "16" — quantization for the LLaVA LM
+    (reference inference.py --llava_bit; default 4, matching the reference).
+    TPU port: 4/8 -> int8 weight-only Pallas matmul; 16 -> bf16."""
     if name == "none":
         return EmptyCaptioner()
     if name == "ram":
@@ -54,8 +57,8 @@ def build_captioner(name: str) -> Captioner:
         if mode != "torch" and path and glob.glob(os.path.join(path, "*.safetensors")):
             from ..captioners.llava_tpu import LLaVATPUCaptioner
 
-            return LLaVATPUCaptioner()
+            return LLaVATPUCaptioner(quantize=llava_bit in ("4", "8"))
         from ..captioners.llava import LLaVACaptioner
 
-        return LLaVACaptioner()
+        return LLaVACaptioner(bit=llava_bit)
     raise ValueError(f"unsupported captioner: {name}")

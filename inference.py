@@ -122,6 +122,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from diffbir_tpu.inference import (
         BFRInferenceLoop,
         BIDInferenceLoop,

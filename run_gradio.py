@@ -44,6 +44,10 @@ SAMPLERS = [
 def build_runner(args):
     from types import SimpleNamespace
 
+    from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from diffbir_tpu.inference.bsr_loop import BSRInferenceLoop
     from diffbir_tpu.inference.bfr_loop import BFRInferenceLoop
     from diffbir_tpu.utils.cond_fn import MSEGuidance, WeightedMSEGuidance

@@ -18,9 +18,13 @@ API:  POST /restore   {"image": <base64 png/jpg>, "steps": 10, "cfg_scale": 6.0,
       GET /healthz    -> {"ok": true, "queue": N}
 
 The reference has no batched server (run_gradio.py processes serially); this
-is a beyond-parity component. Sampling parameters are part of the batch key,
-so requests only share a device batch when their (steps, cfg, sampler,
-prompts, bucketed shape) agree — identical results to a solo request.
+is a beyond-parity component. Sampling parameters (including the seed) are
+part of the batch key, so requests only share a device batch when their
+(steps, cfg, sampler, prompts, seed, bucketed shape) agree. Note: within a
+shared batch each slot draws distinct noise from the common seed's stream,
+so a request's exact output depends on its slot; for bit-reproducible
+outputs send requests with batch=1 (or a unique seed, which prevents
+co-batching).
 """
 
 import argparse
@@ -179,6 +183,9 @@ def make_handler(server: BatchingServer, upscale: float):
 
 
 def main():
+    from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=4)

@@ -22,6 +22,10 @@ def main():
 
     import jax
 
+    from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -106,18 +110,29 @@ def main():
             if writer:
                 writer.add_scalar("train/loss", loss, step)
         if val_ds is not None and step % tcfg["val_every"] == 0:
-            vbatch = next(val_ds.as_iterator(bs, shuffle=False))
-            vm = val_step(
-                state.params,
-                jax.device_put({"gt": (vbatch["gt"] + 1) / 2, "lq": vbatch["lq"]}, dat),
-            )
-            print(f"step {step}: val psnr={float(vm['psnr']):.2f}")
+            # average over up to val_batches batches (was: the same first
+            # batch every time, which hid overfitting to the rest of the set)
+            vit = val_ds.as_iterator(bs, shuffle=False)
+            psnrs = []
+            for _ in range(int(tcfg.get("val_batches", 8))):
+                try:
+                    vbatch = next(vit)
+                except StopIteration:
+                    break
+                vm = val_step(
+                    state.params,
+                    jax.device_put({"gt": (vbatch["gt"] + 1) / 2, "lq": vbatch["lq"]}, dat),
+                )
+                psnrs.append(float(vm["psnr"]))
+            vpsnr = float(np.mean(psnrs)) if psnrs else float("nan")
+            print(f"step {step}: val psnr={vpsnr:.2f} ({len(psnrs)} batches)")
             if writer:
-                writer.add_scalar("val/psnr", float(vm["psnr"]), step)
+                writer.add_scalar("val/psnr", vpsnr, step)
         if step % tcfg["ckpt_every"] == 0:
             ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
             print(f"saved checkpoint @ {step}")
-    ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
+    if step not in ckpt_mgr.all_steps():  # avoid StepAlreadyExistsError when
+        ckpt_mgr.save(step, args=ocp.args.StandardSave(state))  # loop ended on ckpt_every
     ckpt_mgr.wait_until_finished()
 
 

@@ -23,6 +23,10 @@ def main():
 
     import jax
 
+    from diffbir_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
@@ -79,7 +83,9 @@ def main():
     )
     swin_params, _, _ = fill_flax_params(swin_shapes, swin_sd, strict=True)
     swin_params = jax.tree_util.tree_map(jnp.asarray, swin_params)
-    cleaner_apply = lambda x: jnp.clip(swinir.apply(swin_params, x), 0.0, 1.0)  # noqa: E731
+    cleaner_apply = jax.jit(
+        lambda x: jnp.clip(swinir.apply(swin_params, x), 0.0, 1.0)
+    )
 
     tokenizer = get_tokenizer()
 
@@ -216,7 +222,8 @@ def main():
                     os.path.join(tcfg["exp_dir"], f"controlnet_{step}.pth"),
                 )
             print(f"saved checkpoints @ {step}")
-    ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
+    if step not in ckpt_mgr.all_steps():  # avoid StepAlreadyExistsError when
+        ckpt_mgr.save(step, args=ocp.args.StandardSave(state))  # loop ended on ckpt_every
     ckpt_mgr.wait_until_finished()
 
 
