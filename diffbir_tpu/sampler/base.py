@@ -77,8 +77,12 @@ def apply_guidance(cond_fn, target, x0, g_on):
     ``g_on`` is either a python/numpy bool (unrolled solvers — resolves at
     trace time) or a traced bool scalar (scan tables — lax.cond).
     """
+    repeat = int(cond_fn.repeat)
+    if repeat <= 0:  # reference semantics: `for _ in range(repeat)` -> off
+        return x0
+
     def guide(v):
-        for _ in range(max(1, cond_fn.repeat)):
+        for _ in range(repeat):
             g, _loss = cond_fn(target, v)
             v = v + g
         return v

@@ -157,7 +157,13 @@ class EDMSampler(Sampler):
 
         if cond_fn is not None:
             # guidance on the denoiser's x0 prediction; the t-window gate
-            # resolves at trace time (sigma -> model_t is host math)
+            # resolves at trace time (sigma -> model_t is host math).
+            # NOTE: multi-eval unrolled solvers (heun/dpm_2/2s_a/sde/...)
+            # call the denoiser 2-3x per step, so guidance is applied at
+            # every internal eval — stronger per-step pull than the scan
+            # solvers' once-per-step application at the same --g_scale.
+            # (No reference semantics exist: upstream guidance is
+            # spaced-sampler-only.) Calibrate g_scale per solver family.
             inner_denoiser = denoiser
 
             def denoiser(x, sigma: float, rescaled_cfg: float):
@@ -337,23 +343,11 @@ class EDMSampler(Sampler):
         """
         n = len(sigmas) - 1
         eta, s_noise = self.eta, self.s_noise
-        rows = {k: np.zeros(n) for k in (
-            "c_skip", "c_out", "c_in", "t_model", "cfg",
-            "a", "b", "coefA", "coefB", "noise",
-        )}
+        rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
+        for k in ("a", "b", "coefA", "coefB", "noise"):
+            rows[k] = np.zeros(n)
         h_1 = h_2 = None
         for i in range(n):
-            sig = sigmas[i]
-            if v_param:
-                rows["c_skip"][i] = 1.0 / (sig**2 + 1.0)
-                rows["c_out"][i] = -sig / (sig**2 + 1.0) ** 0.5
-            else:
-                rows["c_skip"][i] = 1.0
-                rows["c_out"][i] = -sig
-            rows["c_in"][i] = 1.0 / (sig**2 + 1.0) ** 0.5
-            t_model = self._model_t(sig, sigmas, ts)
-            rows["t_model"][i] = t_model
-            rows["cfg"][i] = float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
             if sigmas[i + 1] == 0:
                 rows["a"][i], rows["b"][i] = 0.0, 1.0  # x <- denoised
                 continue
@@ -380,35 +374,14 @@ class EDMSampler(Sampler):
         if cond_fn is not None:
             tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
 
-        has_aux = getattr(model_fn, "has_aux", False)
-        aux0 = model_fn.init_aux() if has_aux else None
+        denoise, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
 
         def body(carry, row):
             x, d1, d2, key, aux = carry
             key, k_noise = jax.random.split(key)
-            t_vec = jnp.full((bs,), row["t_model"], jnp.float32)
-
-            def call(xx, tt, cc, aux):
-                if has_aux:
-                    raw, aux = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc, aux)
-                else:
-                    raw = model_fn((xx * row["c_in"]).astype(xx.dtype), tt, cc)
-                return raw * row["c_out"] + xx * row["c_skip"], aux
-
-            if use_cfg:
-                x2 = jnp.concatenate([x, x], axis=0)
-                t2 = jnp.concatenate([t_vec, t_vec], axis=0)
-                c2 = {k: jnp.concatenate([cond[k], uncond[k]], axis=0) for k in cond}
-                out, aux = call(x2, t2, c2, aux)
-                o_c, o_u = jnp.split(out, 2, axis=0)
-                denoised = o_u + row["cfg"] * (o_c - o_u)
-            else:
-                denoised, aux = call(x, t_vec, cond, aux)
-            denoised = denoised.astype(x.dtype)
-            if cond_fn is not None:
-                denoised = apply_guidance(
-                    cond_fn, guidance_target, denoised, row["g_on"]
-                )
+            denoised, aux = denoise(x, row, aux)
 
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)
@@ -530,26 +503,31 @@ class EDMSampler(Sampler):
         denoised = den(x, sig, cfg_at(sig))
         return (x - denoised) / sig
 
-    def _kd_step(self, den, x, t, t_next, order, cfg_at, eps0=None):
-        """dpm_solver_{1,2,3}_step (k_diffusion.py:363-392), eps0 cached."""
+    def _kd_step(self, den, x, t, t_next, order, cfg_at, eps0=None, r1=None,
+                 eps_r1=None):
+        """dpm_solver_{1,2,3}_step (k_diffusion.py:363-392); eps0/eps_r1 can
+        be passed in to share evals between steps (the reference's eps_cache:
+        adaptive order-3 shares eps_r1@t+h/3 between its 2- and 3-step)."""
         h = t_next - t
         sig = lambda tt: float(np.exp(-tt))  # noqa: E731
         eps = eps0 if eps0 is not None else self._kd_eps(den, x, t, cfg_at)
         if order == 1:
             return x - sig(t_next) * np.expm1(h) * eps
         if order == 2:
-            r1 = 0.5
+            r1 = 0.5 if r1 is None else r1
             s1 = t + r1 * h
-            u1 = x - sig(s1) * np.expm1(r1 * h) * eps
-            eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
+            if eps_r1 is None:
+                u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+                eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
             return (
                 x - sig(t_next) * np.expm1(h) * eps
                 - sig(t_next) / (2 * r1) * np.expm1(h) * (eps_r1 - eps)
             )
         r1, r2 = 1 / 3, 2 / 3
         s1, s2 = t + r1 * h, t + r2 * h
-        u1 = x - sig(s1) * np.expm1(r1 * h) * eps
-        eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
+        if eps_r1 is None:
+            u1 = x - sig(s1) * np.expm1(r1 * h) * eps
+            eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
         u2 = (
             x - sig(s2) * np.expm1(r2 * h) * eps
             - sig(s2) * (r2 / r1) * (np.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
@@ -596,7 +574,15 @@ class EDMSampler(Sampler):
                 "edm_dpm_adaptive has data-dependent control flow and must run "
                 "eagerly (call sampler.sample outside jit)"
             )
-        order = 3 if self.order not in (2, 3) else self.order
+        # reference sample_dpm_adaptive(order=3): 4 is this class's generic
+        # default (sample_lms parity), treat it as "unset" -> 3; any other
+        # unsupported value is an explicit user error (k_diffusion raises too)
+        if self.order == 4:
+            order = 3
+        elif self.order in (2, 3):
+            order = self.order
+        else:
+            raise ValueError("dpm_adaptive: order should be 2 or 3")
         rtol, atol = 0.05, 0.0078
         pcoeff, icoeff, dcoeff, accept_safety = 0.0, 1.0, 0.0, 0.81
         eta, s_noise = self.eta, self.s_noise
@@ -625,8 +611,16 @@ class EDMSampler(Sampler):
                 x_low = self._kd_step(den, x, s, t_, 1, cfg_at, eps0=eps0)
                 x_high = self._kd_step(den, x, s, t_, 2, cfg_at, eps0=eps0)
             else:
-                x_low = self._kd_step(den, x, s, t_, 2, cfg_at, eps0=eps0)
-                x_high = self._kd_step(den, x, s, t_, 3, cfg_at, eps0=eps0)
+                # reference: x_low = 2_step(r1=1/3) so its eps_r1 eval at
+                # s+h/3 is SHARED with the 3-step (3 evals/step total)
+                hh = t_ - s
+                s1 = s + hh / 3
+                u1 = x - float(np.exp(-s1)) * np.expm1(hh / 3) * eps0
+                eps_r1 = self._kd_eps(den, u1, s1, cfg_at)
+                x_low = self._kd_step(den, x, s, t_, 2, cfg_at, eps0=eps0,
+                                      r1=1 / 3, eps_r1=eps_r1)
+                x_high = self._kd_step(den, x, s, t_, 3, cfg_at, eps0=eps0,
+                                       eps_r1=eps_r1)
             delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
             error = float(
                 jnp.linalg.norm((x_low - x_high) / delta) / (x.size ** 0.5)
@@ -684,19 +678,31 @@ class EDMSampler(Sampler):
                 fac = 1 / (2 * r)
                 sig_s = np.exp(-s)
 
+                # Brownian increments over OVERLAPPING intervals: the
+                # reference noise sampler returns W(sig_s)-W(sig_i) and
+                # W(sig_next)-W(sig_i), which share the (sig_i -> sig_s)
+                # sub-increment. Build both standard normals from two
+                # independent sub-increment draws (a over sig_i->sig_s,
+                # b over sig_s->sig_next) so the joint law matches.
+                rng, ka, kb = jax.random.split(rng, 3)
+                a = jax.random.normal(ka, x.shape, x.dtype)
+                b = jax.random.normal(kb, x.shape, x.dtype)
+                v1 = abs(sigmas[i] - sig_s)
+                v2 = abs(sig_s - sigmas[i + 1])
+                n1 = a
+                n2 = (a * np.sqrt(v1) + b * np.sqrt(v2)) / np.sqrt(v1 + v2)
+
                 sd, su = _ancestral_step(sigmas[i], sig_s, self.eta)
                 s_ = -np.log(sd)
                 x_2 = np.exp(-(s_ - t)) * x - np.expm1(t - s_) * denoised
-                rng, k = jax.random.split(rng)
-                x_2 = x_2 + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
+                x_2 = x_2 + n1 * self.s_noise * su
                 denoised_2 = den(x_2, sig_s, cfg_at(sig_s))
 
                 sd, su = _ancestral_step(sigmas[i], sigmas[i + 1], self.eta)
                 t_next_ = -np.log(sd)
                 denoised_d = (1 - fac) * denoised + fac * denoised_2
                 x = np.exp(-(t_next_ - t)) * x - np.expm1(t - t_next_) * denoised_d
-                rng, k = jax.random.split(rng)
-                x = x + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
+                x = x + n2 * self.s_noise * su
         return x
 
     def _solve_dpmpp_2m(self, den, x, sigmas, cfg_at, rng):

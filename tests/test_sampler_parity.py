@@ -318,3 +318,42 @@ def test_dpm_fast_parity(betas, ref_samplers):
     np.testing.assert_allclose(
         np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=3e-4, rtol=3e-4
     )
+
+
+def test_dpm_adaptive_parity(betas, ref_samplers):
+    """edm_dpm_adaptive at eta=0 is deterministic — locks the PID controller
+    and the shared-eval order-3 low/high estimates (x_low = 2_step(r1=1/3))."""
+    import torch
+
+    _, _, RefEDM = ref_samplers
+    import diffbir.sampler.k_diffusion as kd
+
+    x_T, t_cond, t_uncond, j_cond = _conds()
+
+    ref = RefEDM(
+        betas, "eps", rescale_cfg=False, solver_type="edm_euler",
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=0, order=3,
+    )
+    ref.make_schedule(10)
+    den = ref.convert_to_denoiser(TorchMock(), t_cond, None, 1.0)
+    sigmas_t = ref.sigmas
+    pos = sigmas_t[sigmas_t > 0]
+    with torch.no_grad():
+        x0 = torch.from_numpy(x_T) * torch.sqrt(1.0 + sigmas_t[0] ** 2)
+        theirs = kd.sample_dpm_adaptive(
+            den, x0, float(pos.min()), float(pos.max()), order=3, eta=0.0,
+            disable=True,
+        ).numpy()
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    ours = EDMSampler(
+        betas, "eps", rescale_cfg=False, solver_type="edm_dpm_adaptive",
+        eta=0.0, order=3,
+    ).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, 10, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-3, rtol=1e-3
+    )
