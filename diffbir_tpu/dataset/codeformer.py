@@ -64,15 +64,22 @@ class CodeformerDataset:
         return len(self.image_files)
 
     def _load_gt(self, path: str, max_retry: int = 5) -> Optional[np.ndarray]:
+        import os
+
         data = None
         while data is None:
             if max_retry == 0:
+                return None
+            if not os.path.exists(path):  # missing file: resample immediately
                 return None
             data = self.file_backend.get(path)
             max_retry -= 1
             if data is None:
                 time.sleep(0.5)
-        img = Image.open(io.BytesIO(data)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+        except Exception:  # corrupt image: resample (reference returns None)
+            return None
         if self.crop_type == "none":
             if img.height != self.out_size or img.width != self.out_size:
                 return None
@@ -101,9 +108,12 @@ class CodeformerDataset:
         (native/dataloader; only for on-disk files with center/random crop);
         the degradation synthesis stays in numpy/cv2 on the host."""
         if native:
-            yield from self._as_native_iterator(batch_size, seed, num_threads)
+            yield from self._as_native_iterator(batch_size, seed, num_threads, shuffle)
             return
         order_rng = np.random.default_rng(seed)
+        # reproducibility: degradation/prompt sampling shares the seed too
+        self._rng = np.random.default_rng(seed + 1)
+        random.seed(seed + 2)
         while True:
             idx = np.arange(len(self))
             if shuffle:
@@ -141,7 +151,8 @@ class CodeformerDataset:
             "lq": np.clip(lq, 0, 1).astype(np.float32),
         }
 
-    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int):
+    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int,
+                             shuffle: bool = True):
         from .native_loader import NativeImageLoader
 
         if self.crop_type == "none":
@@ -150,7 +161,7 @@ class CodeformerDataset:
         loader = NativeImageLoader(
             paths, batch_size, self.out_size,
             crop="center" if self.crop_type == "center" else "random_zoom",
-            hflip=False, rot90=False, num_threads=num_threads, seed=seed,
+            hflip=False, rot90=False, num_threads=num_threads, seed=seed, shuffle=shuffle,
         )
         while True:
             imgs, idx = loader.next_with_idx()

@@ -157,12 +157,18 @@ def add_gaussian_noise_np(
 
 
 def jpeg_compress_np(img: np.ndarray, quality: int) -> np.ndarray:
-    """cv2 JPEG round-trip on float [0,1] BGR-agnostic HWC (:732-765)."""
+    """cv2 JPEG round-trip on float [0,1] RGB HWC (:732-765).
+
+    cv2 assumes BGR channel order and JPEG is NOT channel-symmetric
+    (Y = .299R+.587G+.114B + 2x2 chroma subsampling), so the RGB input is
+    flipped to BGR around the round-trip — matching the reference, which
+    runs cv2 on true BGR data."""
+    bgr = (img[..., ::-1] * 255.0).round().astype(np.uint8)
     enc = cv2.imencode(
-        ".jpg", (img * 255.0).round().astype(np.uint8),
-        [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)],
+        ".jpg", bgr, [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
     )[1]
-    return cv2.imdecode(enc, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    out = cv2.imdecode(enc, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    return out[..., ::-1]
 
 
 # --------------------------------------------------------------------------- #
@@ -185,25 +191,26 @@ def add_poisson_noise_batch(
 ) -> jax.Array:
     """Poisson shot noise via the reference's 2^ceil(log2(#levels)) vals trick
     (:610-656), batched. scale [B]."""
-    k1, k2 = jax.random.split(rng)
-
     def one(img_i, key, gray):
-        src = jnp.where(gray, jnp.mean(img_i, -1, keepdims=True), img_i)
+        kg, kc = jax.random.split(key)
+        gray_img = jnp.mean(img_i, -1, keepdims=True)
+        src = jnp.where(gray, gray_img, img_i)  # [h,w,c]
         rounded = jnp.round(src * 255.0) / 255.0
-        # unique-value count approximated by dynamic range quantization
-        levels = 256.0  # reference computes len(unique); 256 is the bound
-        vals = 2.0 ** jnp.ceil(jnp.log2(levels))
-        noisy = jax.random.poisson(key, rounded * vals) / vals
-        noise = noisy - rounded
-        return noise
+        # per-image unique-level count (reference len(unique) -> 2^ceil(log2))
+        ints = jnp.round(src * 255.0).astype(jnp.int32).reshape(-1)
+        nlevels = jnp.sum(jnp.bincount(ints, length=256) > 0).astype(jnp.float32)
+        vals = 2.0 ** jnp.ceil(jnp.log2(jnp.maximum(nlevels, 2.0)))
+        noise_rgb = jax.random.poisson(kc, rounded * vals) / vals - rounded
+        # gray: ONE [h,w,1] draw broadcast to channels (averaging three
+        # independent draws would shrink the std by sqrt(3))
+        rounded_g = jnp.round(gray_img * 255.0) / 255.0
+        noise_g = jax.random.poisson(kg, rounded_g * vals) / vals - rounded_g
+        return jnp.where(
+            gray, jnp.broadcast_to(noise_g, img_i.shape), noise_rgb
+        )
 
-    keys = jax.random.split(k1, img.shape[0])
+    keys = jax.random.split(rng, img.shape[0])
     noise = jax.vmap(one)(img, keys, gray_mask)
-    noise = jnp.where(
-        gray_mask[:, None, None, None],
-        jnp.broadcast_to(jnp.mean(noise, -1, keepdims=True), img.shape),
-        jnp.broadcast_to(noise, img.shape),
-    )
     return jnp.clip(img + noise * scale[:, None, None, None], 0.0, 1.0)
 
 

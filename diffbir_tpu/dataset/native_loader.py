@@ -38,27 +38,32 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        makefile = os.path.join(_REPO_ROOT, "native", "Makefile")
-        if os.path.exists(makefile):
-            try:
-                subprocess.run(
-                    ["make", "-C", os.path.join(_REPO_ROOT, "native")],
-                    capture_output=True, timeout=120, check=True,
-                )
-            except Exception:
-                return None
+    makefile = os.path.join(_REPO_ROOT, "native", "Makefile")
+    if os.path.exists(makefile):
+        try:  # mtime-based: a no-op when the .so is current, rebuilds on
+            subprocess.run(  # source changes (keeps the ABI in sync)
+                ["make", "-C", os.path.join(_REPO_ROOT, "native")],
+                capture_output=True, timeout=120,
+                check=not os.path.exists(_LIB_PATH),
+            )
+        except Exception:
+            return None
     if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:  # ABI check: v2 adds the shuffle flag
+        if lib.dl_api_version() < 2:
+            return None
+    except AttributeError:
+        return None  # stale pre-v2 .so that make failed to refresh
     lib.dl_create.restype = ctypes.c_void_p
     lib.dl_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_ulonglong,
+        ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
     ]
     lib.dl_next.restype = ctypes.c_int
     lib.dl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
@@ -100,6 +105,7 @@ class NativeImageLoader:
         num_threads: int = 4,
         queue_depth: int = 4,
         seed: int = 231,
+        shuffle: bool = True,
     ):
         lib = _load_lib()
         if lib is None:
@@ -117,7 +123,7 @@ class NativeImageLoader:
         augment = (AUG_HFLIP if hflip else 0) | (AUG_ROT90 if rot90 else 0)
         self._h = lib.dl_create(
             arr, len(paths), batch_size, out_size, _CROP_MODES[crop],
-            augment, num_threads, queue_depth, seed,
+            augment, num_threads, queue_depth, seed, int(shuffle),
         )
         if not self._h:
             raise RuntimeError("dl_create failed")

@@ -91,21 +91,28 @@ class RealESRGANDataset:
         pulse = np.zeros((21, 21), np.float32)
         pulse[10, 10] = 1.0
         self.pulse = pulse
-        self._rng = np.random.default_rng()
+        self._rng = np.random.default_rng()  # reseeded by as_iterator(seed)
 
     def __len__(self) -> int:
         return len(self.image_files)
 
     def _load_hq(self, path: str, max_retry: int = 5) -> Optional[np.ndarray]:
+        import os
+
         data = None
         while data is None:
             if max_retry == 0:
                 return None
+            if not os.path.exists(path):  # missing file: resample immediately
+                return None               # (retries are for transient errors)
             data = self.file_backend.get(path)
             max_retry -= 1
             if data is None:
                 time.sleep(0.5)
-        img = Image.open(io.BytesIO(data)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+        except Exception:  # corrupt image: resample (reference returns None)
+            return None
         if self.crop_type == "none":
             arr = np.array(img)
             if arr.shape[:2] != (self.out_size, self.out_size):
@@ -115,7 +122,7 @@ class RealESRGANDataset:
             return np.array(img)
         if self.crop_type == "center":
             return center_crop_arr(img, self.out_size)
-        return random_crop_arr(img, self.out_size)
+        return random_crop_arr(img, self.out_size, min_crop_frac=0.7)
 
     def _sample_kernel(self, which: int) -> np.ndarray:
         c = self.cfg
@@ -123,7 +130,6 @@ class RealESRGANDataset:
         ksize = random.choice(self.kernel_range)
         sinc_p = c["sinc_prob"] if which == 1 else c["sinc_prob2"]
         if rng.uniform() < sinc_p:
-            lo = np.pi / 3 if ksize >= 13 else np.pi / 3
             omega = rng.uniform(np.pi / 3 if ksize < 13 else np.pi / 5, np.pi)
             kernel = circular_lowpass_kernel(omega, ksize)
         else:
@@ -164,9 +170,12 @@ class RealESRGANDataset:
         """``native=True`` moves decode+crop+hflip/rot into the C++ worker
         pool (native/dataloader); kernel synthesis stays in numpy."""
         if native:
-            yield from self._as_native_iterator(batch_size, seed, num_threads)
+            yield from self._as_native_iterator(batch_size, seed, num_threads, shuffle)
             return
         order_rng = np.random.default_rng(seed)
+        # reproducibility: degradation/prompt sampling shares the seed too
+        self._rng = np.random.default_rng(seed + 1)
+        random.seed(seed + 2)
         while True:
             idx = np.arange(len(self))
             if shuffle:
@@ -199,7 +208,8 @@ class RealESRGANDataset:
             return circular_lowpass_kernel(omega, ksize, pad_to=21).astype(np.float32)
         return self.pulse
 
-    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int):
+    def _as_native_iterator(self, batch_size: int, seed: int, num_threads: int,
+                             shuffle: bool = True):
         from .native_loader import NativeImageLoader
 
         if self.crop_type == "none":
@@ -209,7 +219,7 @@ class RealESRGANDataset:
             paths, batch_size, self.out_size,
             crop="center" if self.crop_type == "center" else "random_zoom",
             hflip=self.use_hflip, rot90=self.use_rot,
-            num_threads=num_threads, seed=seed,
+            num_threads=num_threads, seed=seed, shuffle=shuffle,
         )
         while True:
             imgs, idx = loader.next_with_idx()

@@ -99,8 +99,12 @@ def _diff_round(x: jax.Array) -> jax.Array:
     return r + (x - r) ** 3
 
 
-def diff_jpeg(x: jax.Array, quality: jax.Array) -> jax.Array:
-    """Differentiable JPEG round-trip.
+def diff_jpeg(x: jax.Array, quality: jax.Array,
+              differentiable: bool = True) -> jax.Array:
+    """JPEG round-trip; cubic soft rounding when ``differentiable`` else the
+    reference training pipeline's hard round (DiffJPEG(differentiable=False),
+    reference batch_transform usage — hard quantization for degradation
+    synthesis, soft for gradient paths).
 
     x: [B,H,W,3] in [0,1] (H, W multiples of 16); quality: [B] in (0, 100].
     """
@@ -117,10 +121,12 @@ def diff_jpeg(x: jax.Array, quality: jax.Array) -> jax.Array:
     yt = jnp.asarray(Y_TABLE)
     ct = jnp.asarray(C_TABLE)
 
+    rnd = _diff_round if differentiable else jnp.round
+
     def comp(ch, table):
         blocks = _dct8x8(_blocks(ch))
         q = table[None, None] * factor
-        return _diff_round(blocks / q), q
+        return rnd(blocks / q), q
 
     yq, yqt = comp(y, yt)
     cbq, cqt = comp(cb, ct)

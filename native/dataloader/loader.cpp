@@ -68,7 +68,8 @@ struct Batch {
 class Loader {
  public:
   Loader(std::vector<std::string> paths, int batch, int size, int crop_mode,
-         int augment, int n_threads, int queue_depth, unsigned long long seed)
+         int augment, int n_threads, int queue_depth, unsigned long long seed,
+         bool shuffle)
       : paths_(std::move(paths)),
         batch_(batch),
         size_(size),
@@ -76,6 +77,7 @@ class Loader {
         augment_(augment),
         queue_depth_(queue_depth),
         seed_(seed),
+        shuffle_(shuffle),
         order_(paths_.size()) {
     for (size_t i = 0; i < order_.size(); ++i) order_[i] = i;
     shuffle_epoch(0);
@@ -120,6 +122,7 @@ class Loader {
 
  private:
   void shuffle_epoch(unsigned long long epoch) {
+    if (!shuffle_) return;  // deterministic in-order epochs (val iterators)
     SplitMix64 rng(seed_ * 0x2545F4914F6CDD1DULL + epoch + 1);
     for (size_t i = order_.size(); i > 1; --i) {
       size_t j = rng.bounded(i);
@@ -156,7 +159,12 @@ class Loader {
     }
     int short_edge = std::min(img.rows, img.cols);
     double target_short = size_;
-    if (crop_mode_ == 0) {
+    if (img.rows == size_ && img.cols == size_) {
+      // exact-size images pass through unscaled and uncropped — parity with
+      // the python path (random_crop_arr/center_crop_arr short-circuit
+      // out_size inputs; pre-cropped datasets must not get a zoom aug)
+      target_short = short_edge;
+    } else if (crop_mode_ == 0) {
       target_short = size_;  // scale-to-fit: crop spans the full short edge
     } else if (crop_mode_ == 2) {
       double frac = 0.7 + 0.3 * (rng.next() >> 11) * (1.0 / (1ULL << 53));
@@ -226,6 +234,7 @@ class Loader {
   std::vector<std::string> paths_;
   int batch_, size_, crop_mode_, augment_, queue_depth_;
   unsigned long long seed_;
+  bool shuffle_ = true;
 
   std::mutex order_mu_;
   std::vector<size_t> order_;
@@ -248,12 +257,14 @@ extern "C" {
 
 void* dl_create(const char** paths, int n_files, int batch, int size,
                 int crop_mode, int augment, int n_threads, int queue_depth,
-                unsigned long long seed) {
+                unsigned long long seed, int shuffle) {
   if (n_files <= 0 || batch <= 0 || size <= 0) return nullptr;
   std::vector<std::string> p(paths, paths + n_files);
   return new Loader(std::move(p), batch, size, crop_mode, augment, n_threads,
-                    queue_depth > 0 ? queue_depth : 4, seed);
+                    queue_depth > 0 ? queue_depth : 4, seed, shuffle != 0);
 }
+
+int dl_api_version() { return 2; }
 
 int dl_next(void* h, unsigned char* out) {
   return static_cast<Loader*>(h)->next(out, nullptr);
