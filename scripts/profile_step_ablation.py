@@ -50,7 +50,9 @@ def time_step(cldm, params, label, use_control=True):
     t = jnp.full((2,), 500.0)
 
     @jax.jit
-    def loop(x):
+    def loop(params, x):
+        # params MUST be an argument: closing over them bakes 2.4 GB of
+        # weights into the program as constants (and breaks remote compile)
         def body(i, acc):
             eps = cldm(params, acc, t, c,
                        control_scales=1.0 if use_control else None)
@@ -58,9 +60,9 @@ def time_step(cldm, params, label, use_control=True):
 
         return jax.lax.fori_loop(0, N_INNER, body, x)
 
-    s = float(jnp.sum(loop(x)))  # compile
+    s = float(jnp.sum(loop(params, x)))  # compile
     t0 = time.time()
-    s = float(jnp.sum(loop(x)))
+    s = float(jnp.sum(loop(params, x)))
     per = (time.time() - t0) / N_INNER
     print(f"{label:42s} {per * 1e3:8.2f} ms/step  (checksum {s:.2f})")
     return per

@@ -143,3 +143,72 @@ def test_prefetch_iterator():
     with pytest.raises(ValueError):
         while True:
             next(it)
+
+
+def test_poisson_gray_noise_is_single_draw():
+    """Gray-mask Poisson noise must be ONE [h,w,1] draw broadcast across
+    channels (3 independent draws averaged would shrink std by sqrt(3))."""
+    from diffbir_tpu.dataset.degradation import add_poisson_noise_batch
+
+    img = jnp.asarray(
+        np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    )
+    # clip=False would leave noise symmetric; use mid-range to avoid clipping
+    img = img * 0.5 + 0.25
+    out = add_poisson_noise_batch(
+        jax.random.PRNGKey(0), img, jnp.array([1.0, 1.0]),
+        jnp.array([True, False]),
+    )
+    noise = np.asarray(out - img)
+    # gray sample: one draw broadcast across channels (recovered via
+    # out-img, so fp32 re-rounding leaves ~1e-5 channel differences)
+    np.testing.assert_allclose(noise[0, :, :, 0], noise[0, :, :, 1], atol=1e-5)
+    np.testing.assert_allclose(noise[0, :, :, 0], noise[0, :, :, 2], atol=1e-5)
+    # color sample: channels differ
+    assert np.any(noise[1, :, :, 0] != noise[1, :, :, 1])
+    # shot-noise scale sanity: the [0.25,0.75] image has ~128 unique levels
+    # -> vals=128 -> std ~ sqrt(0.5/128) ~ 0.063; a sqrt(3)-shrunk gray draw
+    # (~0.036) or the old fixed vals=256 (~0.044) both fail the lower bound
+    assert 0.05 < noise[0].std() < 0.08
+
+
+def test_jpeg_compress_np_bgr_roundtrip_parity():
+    """jpeg_compress_np(RGB) must equal cv2-on-BGR (the reference pipeline)
+    with the channels flipped at the boundary — red/blue asymmetry check."""
+    import cv2
+    from diffbir_tpu.dataset.degradation import jpeg_compress_np
+
+    rng = np.random.default_rng(0)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    base[:, :, 0] = np.clip(base[:, :, 0] * 2.0, 0, 1)  # red-dominant
+    ours = jpeg_compress_np(base, 40)
+
+    bgr = (base[..., ::-1] * 255.0).round().astype(np.uint8)
+    enc = cv2.imencode(".jpg", bgr, [int(cv2.IMWRITE_JPEG_QUALITY), 40])[1]
+    ref = cv2.imdecode(enc, cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
+    ref = ref[..., ::-1]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_dataset_iterator_reproducible_with_seed(tmp_path):
+    """Same seed -> identical batches including degradations/kernels."""
+    from PIL import Image as PILImage
+    from diffbir_tpu.dataset.realesrgan import RealESRGANDataset
+
+    for i in range(4):
+        arr = (np.random.default_rng(i).random((512, 512, 3)) * 255).astype(np.uint8)
+        PILImage.fromarray(arr).save(tmp_path / f"{i}.png")
+    flist = tmp_path / "files.list"
+    flist.write_text("\n".join(str(tmp_path / f"{i}.png") for i in range(4)))
+
+    def make():
+        return RealESRGANDataset(
+            file_metas=[{"file_list": str(flist), "image_path_key": "image_path"}],
+            out_size=512, crop_type="center", use_hflip=False, use_rot=False,
+        )
+
+    a = next(make().as_iterator(2, seed=7))
+    b = next(make().as_iterator(2, seed=7))
+    np.testing.assert_array_equal(a["hq"], b["hq"])
+    np.testing.assert_array_equal(a["kernel1"], b["kernel1"])
+    np.testing.assert_array_equal(a["sinc_kernel"], b["sinc_kernel"])
