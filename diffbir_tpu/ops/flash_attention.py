@@ -28,11 +28,13 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _block_sizes(sq: int, skv: int):
-    # (1024, 1024) measured fastest for the 4096-token UNet self-attention on
-    # v5e (0.91 ms vs 1.29 ms at (512, 512)); see scripts/bench_attention.py.
+    # v5e sweep at 4096 tokens (bf16 operands): (2048,1024) 0.831 ms,
+    # (1024,1024) 0.887, (512,1024) 0.906, (1024,2048) 0.932; (2048,2048)
+    # exceeds the 16 MB scoped-vmem limit. 1024-token maps clamp to
+    # (1024,1024) via min(). See /tmp-style sweep in scripts/bench_attention.py.
     import os
 
-    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 1024))
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 2048))
     bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", 1024))
     return min(bq, sq), min(bk, skv)
 

@@ -54,8 +54,12 @@ def time_step(cldm, params, label, use_control=True):
         # params MUST be an argument: closing over them bakes 2.4 GB of
         # weights into the program as constants (and breaks remote compile)
         def body(i, acc):
-            eps = cldm(params, acc, t, c,
-                       control_scales=1.0 if use_control else None)
+            if use_control:
+                eps = cldm(params, acc, t, c, control_scales=1.0)
+            else:  # UNet only — isolates the ControlNet share
+                eps = cldm.unet.apply(
+                    params["unet"], acc, t, c["c_txt"], control=None
+                )
             return acc + 0.001 * eps
 
         return jax.lax.fori_loop(0, N_INNER, body, x)
@@ -92,15 +96,23 @@ def main():
         no_st = time_step(cldm, params, "spatial transformers -> identity")
     print(f"{'-> transformer share':42s} {(full - no_st) * 1e3:8.2f} ms")
 
-    gn_call = layers_mod.GroupNorm32.__call__
+    import flax.linen as nn
 
-    def gn_affine_only(self, x):
-        cch = x.shape[-1]
-        scale = self.param("scale", jax.nn.initializers.ones, (cch,), jnp.float32)
-        bias = self.param("bias", jax.nn.initializers.zeros, (cch,), jnp.float32)
-        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+    class GNAffine(nn.Module):
+        """Same param tree as GroupNorm32, stats removed (affine only)."""
 
-    with patched(layers_mod.GroupNorm32, "__call__", gn_affine_only):
+        num_groups: int = 32
+        eps: float = 1e-5
+        cross_batch: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            cch = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (cch,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (cch,), jnp.float32)
+            return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+    with patched(unet_mod, "GroupNorm32", GNAffine):
         no_gn = time_step(cldm, params, "groupnorm stats -> affine only")
     print(f"{'-> gn-stats share':42s} {(full - no_gn) * 1e3:8.2f} ms")
 
