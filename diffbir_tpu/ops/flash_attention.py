@@ -66,11 +66,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
 
     # bf16 operands with fp32 accumulation: bf16 x bf16 products are exact in
     # fp32, so this equals the fp32 dot for bf16 inputs at ~4x MXU throughput;
-    # sm_scale is applied to the fp32 logits (not the bf16 operand)
+    # sm_scale is applied to the fp32 logits (not the bf16 operand).
+    # Precision is pinned per-dtype (NOT inherited from the global
+    # jax_default_matmul_precision, whose float32 setting would make Mosaic
+    # lower bf16 dots as 3-pass emulation): bf16 -> DEFAULT (single pass),
+    # fp32 -> HIGHEST (full fp32, what the parity tests compare against).
     q = q_ref[0]  # (BQ, D)
     k = k_ref[0]  # (BK, D)
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
     ) * sm_scale  # (BQ, BK) fp32
 
     bk = k.shape[0]
@@ -90,7 +97,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
 
     v = v_ref[0]  # (BK, D)
     pv = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (BQ, D)
     acc_ref[:] = acc_ref[:] * alpha + pv
 

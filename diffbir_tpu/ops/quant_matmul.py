@@ -55,8 +55,12 @@ def _kernel(x_ref, wq_ref, scale_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = wq_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 in VMEM
+    # pin DEFAULT precision: a global jax_default_matmul_precision=float32
+    # (parity tests) otherwise lowers this bf16 dot as 3-pass emulation,
+    # which Mosaic rejects ("Bad lhs type")
     acc_ref[:] += jnp.dot(
-        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
     @pl.when(k == nk - 1)
@@ -77,8 +81,9 @@ def _pallas_quant_matmul(
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scale.shape == (n,)
-    # pad M to the fp32 sublane minimum so the accumulator tiles cleanly
-    m_pad = (-m) % 8
+    # pad M to the bf16 sublane tile (16): the kernel's dot runs bf16xbf16
+    # and Mosaic rejects sub-tile bf16 operands ("Bad lhs type" at m_pad=8)
+    m_pad = (-m) % 16
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     bm = x.shape[0]
