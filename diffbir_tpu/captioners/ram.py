@@ -118,6 +118,10 @@ class RAMCaptioner:
             self.tag_list = np.array([line.strip() for line in f if line.strip()])
         with open(os.path.join(data_dir, "ram_tag_list_threshold.txt")) as f:
             self.thresholds = np.array([float(s.strip()) for s in f if s.strip()], np.float32)
+        assert len(self.thresholds) == len(self.tag_list), (
+            f"tag list ({len(self.tag_list)}) and threshold file "
+            f"({len(self.thresholds)}) lengths differ — mismatched data files"
+        )
         self.image_size = image_size
 
         self.model = RAMPlus(num_class=len(self.tag_list), dtype=dtype)
@@ -137,7 +141,9 @@ class RAMCaptioner:
 
     def tags(self, image: Image.Image) -> List[str]:
         img = image.convert("RGB").resize(
-            (self.image_size, self.image_size), Image.BICUBIC
+            # torchvision Resize default = BILINEAR (reference ram
+            # transform); bicubic shifted near-threshold tag probabilities
+            (self.image_size, self.image_size), Image.BILINEAR
         )
         arr = (np.asarray(img, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
         logits = np.asarray(self._logits_fn(self.params, jnp.asarray(arr[None])))[0]

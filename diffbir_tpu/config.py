@@ -60,7 +60,10 @@ def instantiate(cfg: Dict[str, Any], **extra: Any) -> Any:
 
 def load_yaml(path: str) -> Dict[str, Any]:
     with open(path, "r") as f:
-        return yaml.safe_load(f)
+        cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        raise ValueError(f"{path}: expected a YAML mapping, got {type(cfg).__name__}")
+    return cfg
 
 
 def instantiate_from_file(path: str, **extra: Any) -> Any:

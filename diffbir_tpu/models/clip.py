@@ -92,9 +92,7 @@ class CLIPTextEncoder(nn.Module):
         s = self.context_length
         causal = jnp.tril(jnp.ones((s, s), dtype=bool))[None, None]
         n_run = self.layers - (1 if self.layer == "penultimate" else 0)
-        for i in range(self.layers):
-            if i >= n_run:
-                break
+        for i in range(n_run):
             x = _ResBlock(
                 self.width, self.heads, dtype=self.dtype,
                 name=f"transformer.resblocks.{i}",

@@ -42,6 +42,9 @@ def build_sampler(
     if sampler_type == "spaced":
         return SpacedSampler(betas, param, rescale_cfg)
     if sampler_type == "ddim":
+        # eta=0 is DELIBERATE reference parity (reference pipeline.py:182
+        # hardcodes it; --eta only parameterizes the edm_* family). Stochastic
+        # DDIM is available via the DDIMSampler API directly.
         return DDIMSampler(betas, param, rescale_cfg, eta=0.0)
     if sampler_type.startswith("dpm"):
         from .sampler.dpms import DPMSolverSampler
@@ -178,6 +181,12 @@ class Pipeline:
             def base_model_fn(x, t, c):
                 return cldm(params, x, t, c, control_scales=strength)
 
+            if control_interval > 1 and cldm_tiled:
+                raise ValueError(
+                    "control_interval > 1 (turbo) is not supported with "
+                    "cldm_tiled — the per-tile ControlNet calls cannot share "
+                    "one residual cache; drop one of the two flags"
+                )
             if control_interval > 1 and not cldm_tiled:
                 # turbo: recompute ControlNet residuals every k-th step only
                 turbo_ok = ("spaced", "ddim", "edm_dpm++_3m_sde",
@@ -295,12 +304,16 @@ class Pipeline:
         (diffusion); tiny inputs silently disable tiling.
         """
         bs, h0, w0, _ = cond_img.shape
-        if vae_encoder_tiled and min(h0, w0) < vae_encoder_tile_size:
-            vae_encoder_tiled = False
+        # pad by the REQUESTED tiling mode, then decide the tiny-input
+        # tiling disable on the PADDED dims (reference pipeline.py:100-117
+        # order; deciding first changed the pad multiple for inputs within
+        # 8px below the tile size, e.g. 504^2 at tile 512)
         if not vae_encoder_tiled and not cldm_tiled:
             cond_img = pad_to_multiples_of(cond_img, 64)
         else:
             cond_img = pad_to_multiples_of(cond_img, 8)
+        if vae_encoder_tiled and min(cond_img.shape[1:3]) < vae_encoder_tile_size:
+            vae_encoder_tiled = False
         if vae_encoder_tiled and vae_encoder_tile_size % 8 != 0:
             raise ValueError("VAE encoder tile size must be a multiple of 8")
         h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8

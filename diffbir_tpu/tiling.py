@@ -105,18 +105,43 @@ def make_tiled_fn(
         out = jnp.zeros((b, sfn(h), sfn(w), out_c), jnp.float32)
         accepts_coords = "tile_coords" in getattr(fn, "tile_kwargs", ())
         if not accepts_coords and len(coords) > SCAN_THRESHOLD:
-            coord_tab = jnp.asarray(np.array(coords, np.int32))  # [T, 2]
+            # scan over CHUNKS of tiles_per_batch: keeps the bounded-HLO
+            # property (model body once) AND the tile-batching MXU win
+            # (bench_highres: 4.5 -> 3.82 s/image). Padded slots in the last
+            # chunk get weight 0 (they'd double-add their repeated coord).
+            cpb = max(1, tiles_per_batch)
+            pad = (-len(coords)) % cpb
+            coords_pad = coords + [coords[-1]] * pad
+            valid = np.array([1.0] * len(coords) + [0.0] * pad, np.float32)
+            coord_tab = jnp.asarray(
+                np.array(coords_pad, np.int32).reshape(-1, cpb, 2)
+            )
+            valid_tab = jnp.asarray(valid.reshape(-1, cpb))
 
-            def body(acc, hw):
-                hi, wi = hw[0], hw[1]
-                tile = jax.lax.dynamic_slice(x, (0, hi, wi, 0), (b, size, size, c))
-                res = fn(tile, *args, **kwargs).astype(jnp.float32) * wmask_j
-                oh, ow = sfn(hi), sfn(wi)
-                cur = jax.lax.dynamic_slice(acc, (0, oh, ow, 0), (b, osize, osize, out_c))
-                acc = jax.lax.dynamic_update_slice(acc, cur + res, (0, oh, ow, 0))
+            def body(acc, inp):
+                hw, val = inp  # [cpb, 2], [cpb]
+                tiles = jnp.concatenate(
+                    [
+                        jax.lax.dynamic_slice(
+                            x, (0, hw[j, 0], hw[j, 1], 0), (b, size, size, c)
+                        )
+                        for j in range(cpb)
+                    ],
+                    axis=0,
+                )
+                res = fn(tiles, *args, **kwargs).astype(jnp.float32) * wmask_j
+                for j in range(cpb):
+                    r = res[j * b: (j + 1) * b] * val[j]
+                    oh, ow = sfn(hw[j, 0]), sfn(hw[j, 1])
+                    cur = jax.lax.dynamic_slice(
+                        acc, (0, oh, ow, 0), (b, osize, osize, out_c)
+                    )
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + r, (0, oh, ow, 0)
+                    )
                 return acc, None
 
-            out, _ = jax.lax.scan(body, out, coord_tab)
+            out, _ = jax.lax.scan(body, out, (coord_tab, valid_tab))
             return out * inv_count
         for i in range(0, len(coords), tiles_per_batch):
             chunk = coords[i: i + tiles_per_batch]

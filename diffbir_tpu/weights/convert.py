@@ -75,8 +75,19 @@ def _convert_value(v: np.ndarray, transpose: bool, target_shape) -> np.ndarray:
         if v.ndim == 4:  # conv OIHW -> HWIO
             v = v.transpose(2, 3, 1, 0)
             if tuple(v.shape) != tuple(target_shape):
-                # ConvTranspose: torch (I,O,kh,kw) -> flax (kh,kw,I,O)
-                v = orig.transpose(2, 3, 0, 1)
+                # ConvTranspose fallback for flax DEFAULT layout (no
+                # transpose_kernel): torch (I,O,kh,kw) -> (kh,kw,I,O) WITH
+                # the spatial flip torch's cross-correlation implies.
+                # All current ConvTranspose sites (scunet) use
+                # transpose_kernel=True and are handled by the first branch;
+                # when in/out channels are equal both layouts shape-match,
+                # so refuse the ambiguous silent fallback.
+                if orig.shape[0] == orig.shape[1]:
+                    raise ValueError(
+                        "ambiguous ConvTranspose layout (in_ch == out_ch): "
+                        "use transpose_kernel=True in the flax module"
+                    )
+                v = orig.transpose(2, 3, 0, 1)[::-1, ::-1]
         elif v.ndim == 2:  # linear (O,I) -> (I,O)
             v = v.T
     if tuple(v.shape) != tuple(target_shape):
@@ -119,7 +130,12 @@ def fill_flax_params(
             missing.add(tkey)
             if strict:
                 raise KeyError(f"torch key not found: {tkey}")
-            new_leaves.append(leaf)
+            # leaf may be an abstract eval_shape value — materialize zeros so
+            # non-strict loads always yield concrete arrays
+            if isinstance(leaf, jax.ShapeDtypeStruct):
+                new_leaves.append(np.zeros(leaf.shape, leaf.dtype))
+            else:
+                new_leaves.append(leaf)
     params = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return params, missing, used
 

@@ -86,6 +86,16 @@ def test_scan_tile_loop_matches_unrolled():
     )
     assert out_scan.shape == (1, 128, 112, 3)
 
+    # chunked scan (tiles_per_batch > 1, 195 % 3 = 0 and 195 % 4 != 0 so the
+    # padded-slot weight-0 path is exercised too) must match exactly
+    for cpb in (3, 4):
+        f_chunk = make_tiled_fn(
+            up2, size=8, stride=4, scale_type="up", scale=2, tiles_per_batch=cpb
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_chunk(x)), np.asarray(out_scan), atol=1e-6
+        )
+
 
 def test_tiled_vae_consistency():
     from diffbir_tpu.models.cldm import ControlLDM
