@@ -71,7 +71,7 @@ def random_crop_arr(
 ) -> np.ndarray:
     """Guided-diffusion random crop (utils.py:69-92)."""
     min_smaller = int(np.ceil(image_size / max_crop_frac))
-    max_smaller = int(np.floor(image_size / min_crop_frac))
+    max_smaller = int(np.ceil(image_size / min_crop_frac))  # ref uses ceil
     smaller = random.randrange(min_smaller, max_smaller + 1)
     while min(*pil_image.size) >= 2 * smaller:
         pil_image = pil_image.resize(

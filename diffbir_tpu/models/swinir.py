@@ -240,7 +240,12 @@ class SwinIR(nn.Module):
         ph = (mult - h_in % mult) % mult
         pw = (mult - w_in % mult) % mult
         if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            # reflect requires pad < dim; tiny inputs (smaller than the
+            # 64-multiple pad) fall back to edge replication instead of
+            # crashing (the reference never hits this: it reflect-pads to
+            # window=8 only and relies on the pipeline's x64 zero pad)
+            mode = "reflect" if ph < h_in and pw < w_in else "edge"
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
 
         mean = jnp.asarray(RGB_MEAN, x.dtype) if self.in_chans == 3 else 0.0
         x = (x - mean) * self.img_range

@@ -256,6 +256,15 @@ def make_ddim_timesteps(
     if method == "uniform":
         c = num_ddpm_steps // num_ddim_steps
         steps = np.asarray(list(range(0, num_ddpm_steps, c)))
+        if steps[-1] + 1 >= num_ddpm_steps:
+            # the reference (ldm) formula indexes alphacums[T] out of bounds
+            # for these counts (its guarding assert is commented out there);
+            # fail with actionable guidance instead of a numpy IndexError
+            raise ValueError(
+                f"ddim uniform steps={num_ddim_steps} over T={num_ddpm_steps} "
+                f"produces timestep {steps[-1] + 1} >= T; pick a step count "
+                f"n with (T // n) not dividing T - 1 (e.g. 10, 20, 50)"
+            )
     elif method == "quad":
         steps = (
             np.linspace(0, np.sqrt(num_ddpm_steps * 0.8), num_ddim_steps) ** 2

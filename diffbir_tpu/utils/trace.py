@@ -39,8 +39,10 @@ def MemoryPeakMonitor(desc: str, enabled: Optional[bool] = None):
     yield
     after = device_memory_stats().get("peak_bytes_in_use", 0)
     dt = time.time() - t0
-    print(f"[mem] {desc}: peak {after / 2**30:.2f} GiB "
-          f"(delta {(after - before) / 2**30:+.2f} GiB, {dt:.2f}s)")
+    # PJRT exposes no per-phase peak reset: `peak` is the process-global
+    # high-water mark; `peak delta` > 0 means THIS phase raised it
+    print(f"[mem] {desc}: global peak {after / 2**30:.2f} GiB "
+          f"(peak delta {(after - before) / 2**30:+.2f} GiB, {dt:.2f}s)")
 
 
 @contextlib.contextmanager

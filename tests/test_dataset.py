@@ -212,3 +212,50 @@ def test_dataset_iterator_reproducible_with_seed(tmp_path):
     np.testing.assert_array_equal(a["hq"], b["hq"])
     np.testing.assert_array_equal(a["kernel1"], b["kernel1"])
     np.testing.assert_array_equal(a["sinc_kernel"], b["sinc_kernel"])
+
+
+def test_prefetch_iterator_terminal_and_close():
+    """Exhaustion raises StopIteration on EVERY call (no blocking), close()
+    at depth=1 neither deadlocks the worker nor leaves __next__ hanging."""
+    import time
+    from diffbir_tpu.dataset.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(iter([1, 2]), transform=lambda b: b * 10)
+    assert sorted([next(it), next(it)]) == [10, 20]
+    for _ in range(3):  # terminal state is sticky
+        try:
+            next(it)
+            assert False, "expected StopIteration"
+        except StopIteration:
+            pass
+
+    # worker error surfaces on the consumer side
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = PrefetchIterator(bad())
+    assert next(it) == 1
+    try:
+        while True:
+            next(it)
+    except RuntimeError as e:
+        assert "boom" in str(e)
+
+    # close with depth=1 and an infinite producer: must not deadlock
+    def infinite():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    it = PrefetchIterator(infinite(), depth=1)
+    assert isinstance(next(it), int)
+    t0 = time.time()
+    it.close()
+    assert time.time() - t0 < 6.0  # join bounded, no deadlock
+    try:
+        next(it)
+        assert False, "expected StopIteration after close"
+    except StopIteration:
+        pass
