@@ -7,9 +7,8 @@ demonstrates 2396x1596 tiled 8x SR; run_gradio.py:36-38 caps the demo at
 weights, 10-step edm_dpm++_3m_sde (the default CLI sampler).
 
 Measured (v5e, bf16), 1024x1024, 10-step, all tiling on:
-  --tiles_per_batch 1 -> 4.50 s/image
-  --tiles_per_batch 3 -> 3.92 s/image   (recommended: 9 tiles / 3 chunks)
-  --tiles_per_batch 9 -> 3.82 s/image   (diminishing; more activation memory)
+  --tiles_per_batch 3 -> 3.10 s/image  (round-2 kernels + chunked scan;
+  was 3.92, and 4.50 at tiles_per_batch=1)
 
 Usage: python scripts/bench_highres.py [--size 1024] [--steps 10]
 """
