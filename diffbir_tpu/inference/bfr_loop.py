@@ -20,7 +20,7 @@ from .loop import InferenceLoop
 
 class BFRInferenceLoop(InferenceLoop):
     def load_cleaner(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         self.cleaner = SwinIR(dtype=dtype)
         self.cleaner_params = load_cleaner_params(
             self.cleaner, "swinir_face", (1, 64, 64, 3), dtype
@@ -30,12 +30,7 @@ class BFRInferenceLoop(InferenceLoop):
         )
 
     def load_pipeline(self) -> None:
-        from ..models.tokenizer import get_tokenizer
-
-        try:
-            tok = get_tokenizer()
-        except FileNotFoundError:
-            tok = None
+        tok = self._tokenizer()
         self.pipeline = SwinIRPipeline(
             cleaner_apply=self.cleaner_apply, cldm=self.cldm, params=self.params,
             schedule=self.schedule, tokenizer=tok, cond_fn=self.cond_fn,

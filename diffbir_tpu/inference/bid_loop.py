@@ -21,7 +21,7 @@ from .loop import InferenceLoop
 
 class BIDInferenceLoop(InferenceLoop):
     def load_cleaner(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         if self.args.version == "v2":
             self.cleaner = SCUNet(dtype=dtype)
             ckpt = "scunet_psnr"
@@ -34,12 +34,7 @@ class BIDInferenceLoop(InferenceLoop):
         )
 
     def load_pipeline(self) -> None:
-        from ..models.tokenizer import get_tokenizer
-
-        try:
-            tok = get_tokenizer()
-        except FileNotFoundError:
-            tok = None
+        tok = self._tokenizer()
         cls = SwinIRPipeline if self.args.version in ("v1", "v2.1") else SCUNetPipeline
         self.pipeline = cls(
             cleaner_apply=self.cleaner_apply, cldm=self.cldm, params=self.params,

@@ -35,7 +35,7 @@ def load_cleaner_params(model, ckpt_name, example_shape, dtype=jnp.bfloat16):
 
 class BSRInferenceLoop(InferenceLoop):
     def load_cleaner(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         if self.args.version == "v2":
             self.cleaner = RRDBNet(dtype=dtype)
             ckpt = "bsrnet"
@@ -58,14 +58,6 @@ class BSRInferenceLoop(InferenceLoop):
             self.pipeline = SwinIRPipeline(**common)
         else:
             self.pipeline = BSRNetPipeline(upscale=self.args.upscale, **common)
-
-    def _tokenizer(self):
-        from ..models.tokenizer import get_tokenizer
-
-        try:
-            return get_tokenizer()
-        except FileNotFoundError:
-            return None
 
     def after_load_lq(self, lq: Image.Image) -> np.ndarray:
         if self.args.version in ("v1", "v2.1"):

@@ -19,7 +19,7 @@ from .. import config as cfglib
 from ..models.cldm import ControlLDM
 from ..pipeline import SwinIRPipeline
 from ..weights.convert import load_torch_state_dict
-from .loop import InferenceLoop, make_schedule_for_version
+from .loop import InferenceLoop
 from .pretrained_models import resolve_model
 
 
@@ -29,7 +29,7 @@ class CustomInferenceLoop(InferenceLoop):
         super().__init__(args)
 
     def load_cleaner(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         cleaner_cfg = self.train_cfg["model"]["swinir"]
         self.cleaner = cfglib.instantiate(cleaner_cfg, dtype=dtype)
         from .bsr_loop import load_cleaner_params
@@ -41,7 +41,7 @@ class CustomInferenceLoop(InferenceLoop):
         )
 
     def load_cldm(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         self.cldm = ControlLDM.sd21(dtype=dtype)
         shapes = self.cldm.eval_shapes((64, 64))
         sd = load_torch_state_dict(resolve_model(self.train_cfg["train"]["sd_path"]))
@@ -63,18 +63,31 @@ class CustomInferenceLoop(InferenceLoop):
                 params,
             )
         self.params = params
-        self.schedule = make_schedule_for_version(
-            "v2.1" if self.train_cfg["model"].get("zero_snr") else "v2"
+        # honor the train config's EXPLICIT keys — inferring from zero_snr
+        # alone mis-decodes e.g. (parameterization=v, zero_snr=false)
+        from ..schedule import Schedule
+
+        mcfg = self.train_cfg["model"]
+        self.schedule = Schedule.create(
+            timesteps=1000, beta_schedule="linear",
+            linear_start=0.00085, linear_end=0.0120,
+            parameterization=mcfg.get("parameterization", "eps"),
+            zero_snr=bool(mcfg.get("zero_snr", False)),
         )
 
     def load_pipeline(self) -> None:
-        from ..models.tokenizer import get_tokenizer
-
-        try:
-            tok = get_tokenizer()
-        except FileNotFoundError:
-            tok = None
         self.pipeline = SwinIRPipeline(
             cleaner_apply=self.cleaner_apply, cldm=self.cldm, params=self.params,
-            schedule=self.schedule, tokenizer=tok, cond_fn=self.cond_fn,
+            schedule=self.schedule, tokenizer=self._tokenizer(),
+            cond_fn=self.cond_fn,
         )
+
+    def after_load_lq(self, lq):
+        # SwinIRPipeline is x1 — pre-upscale like the reference custom loop
+        # (custom_loop.py:88-93), otherwise --upscale is silently ignored
+        from PIL import Image as PILImage
+
+        lq = lq.resize(
+            tuple(int(x * self.args.upscale) for x in lq.size), PILImage.BICUBIC
+        )
+        return super().after_load_lq(lq)

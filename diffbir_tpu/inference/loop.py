@@ -128,6 +128,21 @@ class InferenceLoop:
     def after_load_lq(self, lq: Image.Image) -> np.ndarray:
         return np.array(lq)
 
+    def _tokenizer(self):
+        from ..models.tokenizer import get_tokenizer
+
+        try:
+            return get_tokenizer()
+        except FileNotFoundError:
+            return None
+
+    def _dtype(self):
+        import jax.numpy as jnp
+
+        return (jnp.bfloat16
+                if getattr(self.args, "precision", "bf16") != "fp32"
+                else jnp.float32)
+
     def setup(self) -> None:
         self.save_dir = self.args.output
         os.makedirs(self.save_dir, exist_ok=True)
@@ -195,9 +210,14 @@ class InferenceLoop:
         name = f"{stem}_{sample_idx}.png" if self.args.n_samples > 1 else f"{stem}.png"
         img.save(os.path.join(self.save_dir, name))
         self._prompts.append((name, self.loop_ctx.get("prompt", "")))
+        self.write_prompt_log()  # incremental: a mid-run crash keeps the log
 
     def write_prompt_log(self) -> None:
+        """(file_name, pos_prompt, neg_prompt) per saved sample — the
+        reference appends per image (loop.py:215-235); rewritten on every
+        save so partial runs keep an audit log."""
+        neg = getattr(self.args, "neg_prompt", "")
         with open(os.path.join(self.save_dir, "prompt.csv"), "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["file_name", "prompt"])
-            w.writerows(self._prompts)
+            w.writerow(["file_name", "prompt", "neg_prompt"])
+            w.writerows([(n, p, neg) for n, p in self._prompts])

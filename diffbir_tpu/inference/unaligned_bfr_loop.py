@@ -28,7 +28,7 @@ from .loop import InferenceLoop
 
 class UnAlignedBFRInferenceLoop(InferenceLoop):
     def load_cleaner(self) -> None:
-        dtype = jnp.bfloat16 if getattr(self.args, "precision", "bf16") != "fp32" else jnp.float32
+        dtype = self._dtype()
         # background cleaner (per version) + face cleaner (always face SwinIR)
         if self.args.version == "v2":
             self.bg_cleaner = RRDBNet(dtype=dtype)

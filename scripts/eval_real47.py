@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--cfg_scale", type=float, default=4.0)
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=231)
-    args, _ = ap.parse_known_args()
+    args = ap.parse_args()  # strict: a typo'd flag must not silently run defaults
 
     from argparse import Namespace
 
@@ -71,6 +71,11 @@ def main():
             scores.append(float(psnr(jnp.asarray(a[None]), jnp.asarray(b[None]))[0]))
             scores_y.append(
                 float(psnr(jnp.asarray(a[None]), jnp.asarray(b[None]), test_y=True)[0])
+            )
+        if not scores:
+            raise SystemExit(
+                "eval_real47: no overlapping filenames between --output and "
+                "--ref (check n_samples naming, e.g. stem_0.png vs stem.png)"
             )
         print(f"PSNR vs reference outputs: {np.mean(scores):.2f} dB "
               f"(Y: {np.mean(scores_y):.2f} dB) over {len(scores)} images")
