@@ -11,8 +11,9 @@ diffusion restorer:
   decode/encode PNGs, so host work overlaps device work;
 - responses are matched back to their requests by slot.
 
-API:  POST /restore   {"image": <base64 png/jpg>, "steps": 10, "cfg_scale": 6.0,
-                       "pos_prompt": "", "neg_prompt": "", "seed": 231,
+API:  POST /restore   {"image": <base64 png/jpg>, "task": "sr"|"face",
+                       "steps": 10, "cfg_scale": 6.0, "pos_prompt": "",
+                       "neg_prompt": "", "seed": 231,
                        "sampler": "edm_dpm++_3m_sde"}
       -> {"image": <base64 png>}
       GET /healthz    -> {"ok": true, "queue": N}
@@ -55,7 +56,8 @@ class _Request:
 class BatchingServer:
     def __init__(self, pipeline, batch: int, max_wait_ms: float,
                  size_bucket: int = 64, max_size: int = 2048):
-        self.pipeline = pipeline
+        # ``pipeline``: a Pipeline (single-task) or a {task: Pipeline} dict
+        self.pipelines = pipeline if isinstance(pipeline, dict) else {"sr": pipeline}
         self.batch = batch
         self.max_wait = max_wait_ms / 1000.0
         self.size_bucket = size_bucket
@@ -64,7 +66,12 @@ class BatchingServer:
         self._thread = threading.Thread(target=self._dispatch, daemon=True)
         self._thread.start()
 
-    def submit(self, image, steps, cfg_scale, pos, neg, sampler, seed):
+    def submit(self, image, steps, cfg_scale, pos, neg, sampler, seed,
+               task="sr"):
+        if task not in self.pipelines:
+            raise ValueError(
+                f"task {task!r} unavailable (serving: {sorted(self.pipelines)})"
+            )
         if max(image.shape[:2]) > self.max_size:
             raise ValueError(f"input larger than {self.max_size} not allowed")
         h0, w0 = image.shape[:2]
@@ -77,8 +84,8 @@ class BatchingServer:
         # seed is part of the key: requests only share a batch when they'd
         # also share the RNG stream, so a request's output can never depend
         # on a co-batched request's seed
-        key = (image.shape[0], image.shape[1], int(steps), float(cfg_scale),
-               str(pos), str(neg), str(sampler), int(seed))
+        key = (str(task), image.shape[0], image.shape[1], int(steps),
+               float(cfg_scale), str(pos), str(neg), str(sampler), int(seed))
         req = _Request(image, key, int(seed))
         self.q.put(req)
         req.event.wait()
@@ -113,10 +120,11 @@ class BatchingServer:
             group = self._collect()
             try:
                 imgs = np.stack([r.image for r in group])
-                h, w, steps, cfg, pos, neg, sampler, _seed = group[0].key
+                (task, h, w, steps, cfg, pos, neg, sampler,
+                 _seed) = group[0].key
                 # one rng stream per batch (each slot draws distinct noise);
                 # for bit-reproducible outputs send requests with batch=1
-                out = self.pipeline.run(
+                out = self.pipelines[task].run(
                     imgs, steps=steps, cfg_scale=cfg, pos_prompt=pos,
                     neg_prompt=neg, sampler_type=sampler,
                     seed=group[0].seed, size_bucket=self.size_bucket,
@@ -161,6 +169,7 @@ def make_handler(server: BatchingServer, upscale: float):
                     img = np.array(Image.fromarray(img).resize((ww, hh), Image.BICUBIC))
                 out = server.submit(
                     img,
+                    task=req.get("task", "sr"),
                     steps=req.get("steps", 10),
                     cfg_scale=req.get("cfg_scale", 6.0),
                     pos=req.get("pos_prompt", ""),
@@ -194,6 +203,7 @@ def main():
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--tasks", default="sr", help="comma list: sr,face")
     args = ap.parse_args()
 
     import run_gradio
@@ -213,10 +223,26 @@ def main():
         rescale_cfg=False, cleaner_tiled=False, cleaner_tile_size=512,
         cleaner_tile_stride=256,
     )
-    loop = BSRInferenceLoop(loop_args)
-    srv = BatchingServer(loop.pipeline, args.batch, args.max_wait_ms,
+    wanted = [t.strip() for t in args.tasks.split(",") if t.strip()]
+    pipelines = {}
+    if "sr" in wanted:
+        pipelines["sr"] = BSRInferenceLoop(loop_args).pipeline
+    if "face" in wanted:
+        from types import SimpleNamespace as NS
+
+        from diffbir_tpu.inference.bfr_loop import BFRInferenceLoop
+
+        try:
+            pipelines["face"] = BFRInferenceLoop(
+                NS(**{**vars(loop_args), "task": "face"})
+            ).pipeline
+        except Exception as e:  # face weights absent: degrade
+            print(f"face pipeline unavailable ({e})")
+    if not pipelines:
+        raise RuntimeError("no task pipeline could be loaded")
+    srv = BatchingServer(pipelines, args.batch, args.max_wait_ms,
                          args.size_bucket, max_size=run_gradio.MAX_SIZE)
-    print(f"serving on :{args.port} (batch {args.batch}, "
+    print(f"serving {sorted(pipelines)} on :{args.port} (batch {args.batch}, "
           f"wait {args.max_wait_ms} ms, bucket {args.size_bucket}px)")
     ThreadingHTTPServer(("0.0.0.0", args.port),
                         make_handler(srv, args.upscale)).serve_forever()

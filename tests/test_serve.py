@@ -153,3 +153,19 @@ def test_different_seeds_never_share_a_batch():
     ran = sorted(set(s for _, s in pipe.seeds))
     assert ran == [1, 2]
     assert sum(n for n, _ in pipe.seeds) == 4
+
+
+def test_task_routing_and_unavailable_task():
+    """Multi-task dict: requests route by task; unknown tasks error clearly."""
+    srv = BatchingServer({"sr": StubPipeline()}, batch=2, max_wait_ms=30,
+                         size_bucket=64, max_size=2048)
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    out = srv.submit(img, steps=2, cfg_scale=1.0, pos="", neg="",
+                     sampler="spaced", seed=1, task="sr")
+    assert out.shape == (64, 64, 3)
+    try:
+        srv.submit(img, steps=2, cfg_scale=1.0, pos="", neg="",
+                   sampler="spaced", seed=1, task="face")
+        assert False, "expected ValueError for unavailable task"
+    except ValueError as e:
+        assert "face" in str(e)
