@@ -307,3 +307,51 @@ def test_spatial_parallel_forward_exact():
                           mesh)
     out = np.asarray(fn(jax.device_put(params, rep), jax.device_put(x, sp)))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_fsdp_with_gradient_accumulation():
+    """FSDP sharding composes with optax.MultiSteps (the accumulator tree is
+    params-shaped, so it shards the same way): two identical micro-steps
+    match one replicated plain-AdamW step."""
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.parallel.fsdp import fsdp_shard_params, fsdp_sharding_tree
+    from diffbir_tpu.schedule import Schedule
+    from diffbir_tpu.train import stage2
+
+    cldm = ControlLDM.tiny()
+    schedule = Schedule.create(timesteps=50)
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    batch = {
+        "gt": jnp.asarray(
+            np.random.default_rng(0).standard_normal((8, 64, 64, 3)) * 0.2, jnp.float32
+        ),
+        "lq": jnp.asarray(np.random.default_rng(1).random((8, 64, 64, 3)), jnp.float32),
+        "tokens": jnp.zeros((8, 77), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(9)
+    mesh = make_mesh(n_data=8)
+    batch8 = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    rng8 = jax.device_put(rng, NamedSharding(mesh, P()))
+
+    opt_plain = stage2.make_optimizer(1e-3)
+    step_plain = jax.jit(stage2.make_train_step(cldm, schedule, opt_plain))
+    s_plain = jax.device_put(
+        stage2.init_train_state(params, opt_plain), NamedSharding(mesh, P())
+    )
+    s_plain, _ = step_plain(s_plain, batch8, rng8)
+
+    opt_acc = stage2.make_optimizer(1e-3, accum_steps=2)
+    state = stage2.init_train_state(params, opt_acc)
+    shardings = fsdp_sharding_tree(mesh, state)
+    state = fsdp_shard_params(mesh, state)
+    step_acc = jax.jit(
+        stage2.make_train_step(cldm, schedule, opt_acc),
+        in_shardings=(shardings, NamedSharding(mesh, P("data")), NamedSharding(mesh, P())),
+        out_shardings=(shardings, NamedSharding(mesh, P())),
+    )
+    state, _ = step_acc(state, batch8, rng8)
+    state, _ = step_acc(state, batch8, rng8)
+
+    a = jax.tree_util.tree_leaves(s_plain.params["controlnet"])[0]
+    b = jax.tree_util.tree_leaves(state.params["controlnet"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
