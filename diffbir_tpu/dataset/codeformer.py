@@ -66,11 +66,16 @@ class CodeformerDataset:
     def _load_gt(self, path: str, max_retry: int = 5) -> Optional[np.ndarray]:
         import os
 
+        from .file_backend import HardDiskBackend
+
         data = None
         while data is None:
             if max_retry == 0:
                 return None
-            if not os.path.exists(path):  # missing file: resample immediately
+            # Missing local file: resample immediately (retries are for
+            # transient errors). Non-local backends (Petrel s3://) never
+            # exist on the local filesystem, so only check HardDisk paths.
+            if isinstance(self.file_backend, HardDiskBackend) and not os.path.exists(path):
                 return None
             data = self.file_backend.get(path)
             max_retry -= 1

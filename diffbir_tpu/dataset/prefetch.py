@@ -71,18 +71,24 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
-        if self._done:
-            # terminal: never block on a queue that has no producer left
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        item = self._q.get()
-        if item is _SENTINEL:
-            self._done = True
-            if self._err is not None:
-                raise self._err
-            raise StopIteration
-        return item
+        # Timed get that re-checks the terminal flag: close() from another
+        # thread drains the queue (sentinel included) and joins the worker,
+        # so an untimed get() here could block forever with no producer left.
+        while True:
+            if self._done:
+                if self._err is not None:
+                    raise self._err
+                raise StopIteration
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is _SENTINEL:
+                self._done = True
+                if self._err is not None:
+                    raise self._err
+                raise StopIteration
+            return item
 
     def close(self):
         """Stop the worker and discard any staged batches (frees device

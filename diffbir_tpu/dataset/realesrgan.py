@@ -99,12 +99,16 @@ class RealESRGANDataset:
     def _load_hq(self, path: str, max_retry: int = 5) -> Optional[np.ndarray]:
         import os
 
+        from .file_backend import HardDiskBackend
+
         data = None
         while data is None:
             if max_retry == 0:
                 return None
-            if not os.path.exists(path):  # missing file: resample immediately
-                return None               # (retries are for transient errors)
+            # Missing local file: resample immediately (retries are for
+            # transient errors). Petrel s3:// paths never exist locally.
+            if isinstance(self.file_backend, HardDiskBackend) and not os.path.exists(path):
+                return None
             data = self.file_backend.get(path)
             max_retry -= 1
             if data is None:

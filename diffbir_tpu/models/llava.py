@@ -400,6 +400,25 @@ def load_llava_params(model_dir: str, quantize: bool = True):
     }
     if quantize:
         llama = quantize_llama_params(llama)
+    else:
+        # Unquantized = the reference's 16-bit mode (fp16 bitsandbytes-free
+        # load, llava/model/builder.py:43-47). fp32 7B would be ~28 GB —
+        # over v5e HBM — so cast the big linears + embeddings to bf16;
+        # RMSNorm weights stay fp32 (norm math runs fp32 anyway).
+        def _bf16(tree, name=""):
+            if isinstance(tree, dict):
+                if "kernel" in tree or (name == "embed_tokens" and "weight" in tree):
+                    return {
+                        k: (v.astype(jnp.bfloat16)
+                            if k in ("kernel", "weight") else v)
+                        for k, v in tree.items()
+                    }
+                return {k: _bf16(v, k) for k, v in tree.items()}
+            if isinstance(tree, list):
+                return [_bf16(v, name) for v in tree]
+            return tree
+
+        llama = _bf16(llama)
 
     vt = "vision_tower.vision_model."
     v_layers = []

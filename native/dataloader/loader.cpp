@@ -160,9 +160,11 @@ class Loader {
     int short_edge = std::min(img.rows, img.cols);
     double target_short = size_;
     if (img.rows == size_ && img.cols == size_) {
-      // exact-size images pass through unscaled and uncropped — parity with
-      // the python path (random_crop_arr/center_crop_arr short-circuit
-      // out_size inputs; pre-cropped datasets must not get a zoom aug)
+      // Exact-size images pass through unscaled and uncropped. This is
+      // parity with the reference DATASET wrappers, which short-circuit
+      // out_size inputs before any crop fn runs (reference
+      // diffbir/dataset/codeformer.py:65-72, realesrgan.py:112-115) — the
+      // zoom aug in random_crop_arr is only reached for non-exact sizes.
       target_short = short_edge;
     } else if (crop_mode_ == 0) {
       target_short = size_;  // scale-to-fit: crop spans the full short edge

@@ -259,3 +259,36 @@ def test_prefetch_iterator_terminal_and_close():
         assert False, "expected StopIteration after close"
     except StopIteration:
         pass
+
+
+def test_prefetch_close_unblocks_waiting_consumer():
+    """close() from another thread while a consumer is blocked in __next__
+    (slow producer, empty queue) must unblock it with StopIteration rather
+    than strand it forever (advisor round-2 finding)."""
+    import threading
+    import time
+
+    from diffbir_tpu.dataset.prefetch import PrefetchIterator
+
+    def slow():
+        yield 1
+        time.sleep(30)  # consumer blocks in next() during this window
+        yield 2
+
+    it = PrefetchIterator(slow(), depth=1)
+    assert next(it) == 1
+    outcome = {}
+
+    def consume():
+        try:
+            outcome["val"] = next(it)
+        except StopIteration:
+            outcome["stop"] = True
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.3)  # let the consumer block on the empty queue
+    it.close()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "consumer stranded in __next__ after close()"
+    assert outcome.get("stop"), f"expected StopIteration, got {outcome}"
