@@ -55,7 +55,7 @@ class LLaVATPUCaptioner:
         self,
         model_path: Optional[str] = None,
         max_new_tokens: int = 60,
-        quantize: bool = True,
+        quantize=True,  # 4 / 8 / True(int8) / False(bf16)
     ):
         model_path = model_path or os.environ.get("DIFFBIR_TPU_LLAVA_PATH")
         if not model_path or not os.path.isdir(model_path):

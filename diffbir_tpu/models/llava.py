@@ -81,8 +81,13 @@ class ClipVisionConfig:
 # primitives (functional; params are plain dicts)
 # --------------------------------------------------------------------------- #
 def _linear(p: Dict, x: jax.Array) -> jax.Array:
-    """Dense layer; quantized when the param dict holds {w_q, scale}."""
-    if "w_q" in p:
+    """Dense layer; quantized when the param dict holds {w_q, scale} (int8)
+    or {w_q4, scale_g} (packed int4, per-group scales)."""
+    if "w_q4" in p:
+        from ..ops.quant_matmul import quant_matmul_int4
+
+        y = quant_matmul_int4(x, p["w_q4"], p["scale_g"])
+    elif "w_q" in p:
         y = quant_matmul(x, p["w_q"], p["scale"])
     else:
         y = jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -325,14 +330,25 @@ _QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_llama_params(params: Dict) -> Dict:
-    """Replace the big linears' fp weights with {w_q int8, scale fp32}
-    (the bitsandbytes-8bit equivalent; embed/norms stay fp)."""
+def quantize_llama_params(params: Dict, bits: int = 8) -> Dict:
+    """Replace the big linears' fp weights with quantized forms:
+    bits=8 -> {w_q int8, scale fp32} (the bitsandbytes-8bit equivalent);
+    bits=4 -> {w_q4 packed int8, scale_g fp32 [K/group, N]} (the reference's
+    DEFAULT 4-bit load, llava/model/builder.py:32-41). Embed/norms stay fp."""
+    from ..ops.quant_matmul import INT4_WINDOW, quantize_weight_int4
+
+    assert bits in (4, 8), bits
+
     def walk(tree, name=""):
         if isinstance(tree, dict):
             if "kernel" in tree and name in _QUANT_KEYS:
-                w_q, scale = quantize_weight(tree["kernel"])
-                out = {"w_q": w_q, "scale": scale}
+                k_in = tree["kernel"].shape[0]
+                if bits == 4 and k_in % INT4_WINDOW == 0:
+                    w_q4, scale_g = quantize_weight_int4(tree["kernel"])
+                    out = {"w_q4": w_q4, "scale_g": scale_g}
+                else:
+                    w_q, scale = quantize_weight(tree["kernel"])
+                    out = {"w_q": w_q, "scale": scale}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
                 return out
@@ -344,9 +360,12 @@ def quantize_llama_params(params: Dict) -> Dict:
     return walk(params)
 
 
-def load_llava_params(model_dir: str, quantize: bool = True):
+def load_llava_params(model_dir: str, quantize=True):
     """Load HF ``llava-hf/llava-1.5-7b-hf`` safetensors shards into the
-    functional param dicts. Returns (llama, vision, projector, configs)."""
+    functional param dicts. Returns (llama, vision, projector, configs).
+
+    ``quantize``: 4 -> packed int4 (the reference default), 8 or True ->
+    int8, False or 16 -> bf16 linears (the reference 16-bit mode)."""
     import glob
     import os
 
@@ -398,8 +417,8 @@ def load_llava_params(model_dir: str, quantize: bool = True):
         "norm": {"weight": jnp.asarray(sd[lm + "norm.weight"])},
         "lm_head": lin("language_model.lm_head"),
     }
-    if quantize:
-        llama = quantize_llama_params(llama)
+    if quantize in (True, 4, 8):
+        llama = quantize_llama_params(llama, bits=4 if quantize == 4 else 8)
     else:
         # Unquantized = the reference's 16-bit mode (fp16 bitsandbytes-free
         # load, llava/model/builder.py:43-47). fp32 7B would be ~28 GB —

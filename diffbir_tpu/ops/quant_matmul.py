@@ -109,6 +109,176 @@ def _pallas_quant_matmul(
     return out[:m] if m_pad else out
 
 
+# --------------------------------------------------------------------------- #
+# int4 (packed) weight-only matmul
+#
+# The reference's DEFAULT LLaVA load is 4-bit bitsandbytes
+# (/root/reference/llava/model/builder.py:32-41). TPU equivalent: two int4
+# nibbles per int8 byte in HBM with per-group fp32 scales along K (groupwise
+# symmetric quant, like bnb NF4's blockwise scales but with a uniform grid,
+# which keeps the dequant a multiply on the MXU path). Per-group scales do
+# NOT commute with the K-reduction, so the kernel dequantizes the weight
+# tile in VMEM (int4 -> bf16 * scale) before the dot.
+#
+# Packing layout ("window-halved"): K is split into windows of W logical
+# rows; within a window, low nibbles hold rows [0, W/2) and high nibbles
+# rows [W/2, W). Unpacking a window is then two arithmetic shifts plus one
+# CONTIGUOUS concat along sublanes — no lane interleave on the minor dim.
+# --------------------------------------------------------------------------- #
+INT4_WINDOW = 256  # logical K rows per pack window (divides 4096 and 11008)
+
+
+def quantize_weight_int4(
+    w: jax.Array, group_size: int = 128, window: int = INT4_WINDOW
+) -> Tuple[jax.Array, jax.Array]:
+    """[K, N] float -> (packed int8 [K/2, N], fp32 scales [K/group_size, N]).
+
+    Symmetric per-(group, output-channel) quant to [-7, 7]; pairs are packed
+    along K in the window-halved layout described above.
+    """
+    k, n = w.shape
+    # groups must tile each window (unpack restores original row order inside
+    # a window, so groups may span the half boundary but not a window edge)
+    assert k % window == 0 and window % 2 == 0 and window % group_size == 0, (
+        k, window, group_size)
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w.reshape(k // group_size, group_size, n)), axis=1)
+    scale = jnp.maximum(absmax / 7.0, 1e-8)  # [K/g, N]
+    q = jnp.clip(
+        jnp.round(w / jnp.repeat(scale, group_size, axis=0)), -7, 7
+    ).astype(jnp.int32)
+    half = window // 2
+    qw = q.reshape(k // window, window, n)
+    lo = qw[:, :half] & 0xF
+    hi = qw[:, half:] & 0xF
+    packed = jax.lax.bitcast_convert_type(
+        (lo | (hi << 4)).astype(jnp.uint8), jnp.int8
+    )
+    return packed.reshape(k // 2, n), scale
+
+
+def _unpack_int4(packed: jax.Array, window: int = INT4_WINDOW) -> jax.Array:
+    """[K/2, N] packed int8 -> [K, N] int32 in [-7, 7] (window-halved layout)."""
+    kp, n = packed.shape
+    half = window // 2
+    p = packed.reshape(kp // half, half, n).astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 24), 28)
+    return jnp.concatenate([lo, hi], axis=1).reshape(kp * 2, n)
+
+
+def _xla_quant_matmul_int4(
+    x: jax.Array, packed: jax.Array, scale: jax.Array, window: int = INT4_WINDOW
+) -> jax.Array:
+    k = packed.shape[0] * 2
+    g = k // scale.shape[0]
+    w_int = _unpack_int4(packed, window)
+    w = (w_int.reshape(scale.shape[0], g, -1) * scale[:, None, :]).reshape(
+        k, -1
+    ).astype(jnp.bfloat16)
+    acc = jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return acc.astype(x.dtype)
+
+
+def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window):
+    """Grid (n_tiles, k_windows); one K step = one pack window of `window`
+    logical rows (window/2 packed int8 rows)."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = wq_ref[:].astype(jnp.int32)  # [window/2, bn]
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 24), 28)
+    w_int = jnp.concatenate([lo, hi], axis=0)  # [window, bn]
+    ng, bn = scale_ref.shape  # groups within this window
+    w = (
+        w_int.reshape(ng, window // ng, bn).astype(jnp.float32)
+        * scale_ref[:][:, None, :]
+    ).reshape(window, bn).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(j == nk - 1)
+    def _done():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "window", "interpret")
+)
+def _pallas_quant_matmul_int4(
+    x: jax.Array, packed: jax.Array, scale: jax.Array,
+    block_n: int = 512, window: int = INT4_WINDOW, interpret: bool = False,
+) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    kp, n = packed.shape
+    assert k == kp * 2 and scale.shape[1] == n and k % window == 0
+    groups_per_window = window // (k // scale.shape[0])
+    m_pad = (-m) % 16
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    bm = x.shape[0]
+    bn = min(block_n, n)
+    assert n % bn == 0, (n, bn)
+    grid = (n // bn, k // window)
+    out = pl.pallas_call(
+        functools.partial(_kernel_int4, window=window),
+        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, window), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (window // 2, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (groups_per_window, bn), lambda i, j: (j, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x, packed, scale)
+    return out[:m] if m_pad else out
+
+
+def quant_matmul_int4(
+    x: jax.Array, packed: jax.Array, scale: jax.Array, force: str = None
+) -> jax.Array:
+    """x [.., K] @ dequant_int4(packed [K/2, N], scale [K/g, N]) -> [.., N]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    k = packed.shape[0] * 2
+    n = packed.shape[1]
+    use_pallas = force == "pallas"
+    if force is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and n % 256 == 0 and k % INT4_WINDOW == 0
+            and x2.shape[0] <= 1024
+        )
+    if use_pallas:
+        bn = 512 if n % 512 == 0 else 256
+        out = _pallas_quant_matmul_int4(x2, packed, scale, block_n=bn)
+    else:
+        out = _xla_quant_matmul_int4(x2, packed, scale)
+    return out.reshape(lead + (n,))
+
+
 def quant_matmul(
     x: jax.Array, w_q: jax.Array, scale: jax.Array, force: str = None
 ) -> jax.Array:

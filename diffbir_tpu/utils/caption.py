@@ -57,7 +57,11 @@ def build_captioner(name: str, llava_bit: str = "4") -> Captioner:
         if mode != "torch" and path and glob.glob(os.path.join(path, "*.safetensors")):
             from ..captioners.llava_tpu import LLaVATPUCaptioner
 
-            return LLaVATPUCaptioner(quantize=llava_bit in ("4", "8"))
+            # 4 -> packed-int4 Pallas matmul (the reference's default load),
+            # 8 -> int8, 16 -> bf16
+            return LLaVATPUCaptioner(
+                quantize=int(llava_bit) if llava_bit in ("4", "8") else False
+            )
         from ..captioners.llava import LLaVACaptioner
 
         return LLaVACaptioner(bit=llava_bit)

@@ -1,4 +1,4 @@
-"""LLaVA decode throughput (tokens/s) — int8 vs bf16 weights.
+"""LLaVA decode throughput (tokens/s) — int4 vs int8 vs bf16 weights.
 
 Weights-gated: with DIFFBIR_TPU_LLAVA_PATH set to a llava-1.5-hf dir it
 benches the real 7B model on the TPU; otherwise it runs a synthetic
@@ -34,9 +34,11 @@ def main():
 
     path = os.environ.get("DIFFBIR_TPU_LLAVA_PATH", "")
     if path and os.path.isdir(path):
-        llama_q, _, _, (cfg, _) = L.load_llava_params(path, quantize=True)
+        llama_q4, _, _, (cfg, _) = L.load_llava_params(path, quantize=4)
+        llama_q, _, _, _ = L.load_llava_params(path, quantize=8)
         llama_f, _, _, _ = L.load_llava_params(path, quantize=False)
-        variants = {"int8": llama_q, "bf16": jax.tree_util.tree_map(
+        variants = {"int4": llama_q4, "int8": llama_q,
+                    "bf16": jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             llama_f,
         )}
@@ -50,7 +52,11 @@ def main():
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             params,
         )
-        variants = {"int8": L.quantize_llama_params(params), "bf16": bf16}
+        variants = {
+            "int4": L.quantize_llama_params(params, bits=4),
+            "int8": L.quantize_llama_params(params, bits=8),
+            "bf16": bf16,
+        }
         del params
 
     prompt = jnp.asarray(

@@ -75,6 +75,93 @@ def test_quant_matmul_pallas_matches_xla():
 
 
 # --------------------------------------------------------------------------- #
+# int4 (packed) quant matmul — the reference's DEFAULT LLaVA load is 4-bit
+# bitsandbytes (llava/model/builder.py:32-41)
+# --------------------------------------------------------------------------- #
+def test_quantize_int4_roundtrip_error():
+    from diffbir_tpu.ops.quant_matmul import _unpack_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.standard_normal((512, 384)).astype(np.float32) * 0.02)
+    packed, scale = quantize_weight_int4(w, group_size=128)
+    assert packed.shape == (256, 384) and packed.dtype == jnp.int8
+    assert scale.shape == (4, 384)
+    w_int = _unpack_int4(packed)
+    assert int(w_int.max()) <= 7 and int(w_int.min()) >= -7
+    deq = (w_int.reshape(4, 128, 384) * scale[:, None, :]).reshape(512, 384)
+    # symmetric grid with 7 positive levels: |err| <= scale/2 per group
+    err = jnp.abs(deq - w)
+    bound = jnp.repeat(scale / 2, 128, axis=0) + 1e-8
+    assert bool(jnp.all(err <= bound))
+
+
+def test_quant_matmul_int4_close_to_exact():
+    from diffbir_tpu.ops.quant_matmul import quant_matmul_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((3, 512)).astype(np.float32))
+    packed, s = quantize_weight_int4(w)
+    got = quant_matmul_int4(x, packed, s, force="xla")
+    assert got.shape == (3, 256)
+    exact = x @ w
+    rel = float(jnp.abs(got - exact).max() / jnp.abs(exact).max())
+    # 16x coarser grid than int8 — and i.i.d. gaussian weights are the
+    # worst case for groupwise quant (no outlier structure to absorb)
+    assert rel < 0.2
+
+
+def test_quant_matmul_int4_pallas_interpret_matches_xla():
+    """Kernel check on CPU: 2 N-tiles x 2 pack windows exercises the
+    accumulator carry, nibble unpack, and per-group dequant."""
+    from diffbir_tpu.ops.quant_matmul import (
+        _pallas_quant_matmul_int4, quant_matmul_int4, quantize_weight_int4)
+
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    packed, s = quantize_weight_int4(w, group_size=128)
+    a = _pallas_quant_matmul_int4(x, packed, s, block_n=256, interpret=True)
+    b = quant_matmul_int4(x, packed, s, force="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
+def test_quant_matmul_int4_pallas_matches_xla():
+    from diffbir_tpu.ops.quant_matmul import quant_matmul_int4, quantize_weight_int4
+
+    rng = np.random.default_rng(13)
+    w = jnp.asarray(rng.standard_normal((1024, 768)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((4, 1024)).astype(np.float32))
+    packed, s = quantize_weight_int4(w)
+    a = quant_matmul_int4(x, packed, s, force="pallas")
+    b = quant_matmul_int4(x, packed, s, force="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_quantize_llama_params_int4_decode():
+    """bits=4 quantization plugs into the llama forward; logits stay close
+    to fp (tiny config: dims divisible by the pack window)."""
+    cfg = L.LlamaConfig(dim=256, n_layers=1, n_heads=4, ffn_dim=512,
+                        vocab_size=64, max_seq_len=32)
+    params = L.init_llama_params(np.random.default_rng(20), cfg)
+    q4 = L.quantize_llama_params(params, bits=4)
+    flat = jax.tree_util.tree_leaves(q4["layers"][0]["self_attn"]["q_proj"])
+    assert any(a.dtype == jnp.int8 for a in flat)
+    x = jnp.asarray(
+        np.random.default_rng(21).standard_normal((1, 5, cfg.dim)).astype(np.float32)
+    )
+    positions = jnp.arange(5)
+    causal = jnp.where(
+        jnp.arange(5)[:, None] >= jnp.arange(5)[None, :], 0.0, -1e9
+    ).astype(jnp.float32)
+    y_fp, _ = L.llama_block(params["layers"][0], cfg, x, positions, None, causal)
+    y_q4, _ = L.llama_block(q4["layers"][0], cfg, x, positions, None, causal)
+    rel = float(jnp.abs(y_q4 - y_fp).max() / jnp.abs(y_fp).max())
+    assert rel < 0.3  # random-weight worst case; plumbing + rough accuracy
+
+
+# --------------------------------------------------------------------------- #
 # llama decode
 # --------------------------------------------------------------------------- #
 @pytest.fixture(scope="module")
