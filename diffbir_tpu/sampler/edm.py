@@ -155,22 +155,27 @@ class EDMSampler(Sampler):
             o_c, o_u = jnp.split(out, 2, axis=0)
             return o_u + rescaled_cfg * (o_c - o_u)
 
+        gnudge = None
         if cond_fn is not None:
-            # guidance on the denoiser's x0 prediction; the t-window gate
-            # resolves at trace time (sigma -> model_t is host math).
-            # NOTE: multi-eval unrolled solvers (heun/dpm_2/2s_a/sde/...)
-            # call the denoiser 2-3x per step, so guidance is applied at
-            # every internal eval — stronger per-step pull than the scan
-            # solvers' once-per-step application at the same --g_scale.
+            # Guidance strength is SOLVER-INDEPENDENT: every unrolled solver
+            # applies exactly ONE euler-equivalent nudge per step,
+            #   x += (guide(pred_x0) - pred_x0) * (1 - sigma_next/sigma_hat),
+            # computed from the step's primary (raw) denoiser eval. This is
+            # what guidance-in-the-denoiser reduces to for the euler update;
+            # composing guidance into high-order correctors instead amplifies
+            # it by ~dt/sigma_next (measured 2.2e3x for heun, 27x for dpm_2
+            # on the first Karras step sigma 1e4 -> 0.5) because the
+            # corrector divides the pred_x0 perturbation by the small
+            # endpoint sigma. The gradient field is not the model ODE field,
+            # so it gets a first-order step regardless of solver order.
             # (No reference semantics exist: upstream guidance is
-            # spaced-sampler-only.) Calibrate g_scale per solver family.
-            inner_denoiser = denoiser
-
-            def denoiser(x, sigma: float, rescaled_cfg: float):
-                out = inner_denoiser(x, sigma, rescaled_cfg)
-                t_model = self._model_t(sigma, sigmas, ts)
-                g_on = bool(guidance_gate(cond_fn, np.array([t_model]))[0])
-                return apply_guidance(cond_fn, guidance_target, out, g_on)
+            # spaced-sampler-only.) Pinned by tests/test_guidance_strength.py.
+            def gnudge(denoised, sigma_from: float, sigma_to: float):
+                t_model = self._model_t(sigma_from, sigmas, ts)
+                if not bool(guidance_gate(cond_fn, np.array([t_model]))[0]):
+                    return 0.0
+                guided = apply_guidance(cond_fn, guidance_target, denoised, True)
+                return (guided - denoised) * (1.0 - float(sigma_to) / float(sigma_from))
 
         def cfg_at(sigma: float) -> float:
             t_model = self._model_t(sigma, sigmas, ts)
@@ -190,7 +195,7 @@ class EDMSampler(Sampler):
                 v_param, use_cfg, cond_fn=cond_fn, guidance_target=guidance_target,
             )
         solver = getattr(self, "_solve_" + self.solver_type.replace("+", "p"))
-        return solver(denoiser, x, sigmas, cfg_at, rng)
+        return solver(denoiser, x, sigmas, cfg_at, rng, gnudge=gnudge)
 
     # ------------------------------------------------------------------ #
     def _denoiser_rows(self, sigmas, ts, cfg_scale, v_param, n):
@@ -403,7 +408,7 @@ class EDMSampler(Sampler):
             return min(self.s_churn / (n - 1), 2**0.5 - 1)
         return 0.0
 
-    def _solve_euler(self, den, x, sigmas, cfg_at, rng):
+    def _solve_euler(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             gamma = self._churn(i, n + 1, sigmas[i])
@@ -412,23 +417,28 @@ class EDMSampler(Sampler):
                 rng, k = jax.random.split(rng)
                 eps = jax.random.normal(k, x.shape, x.dtype) * self.s_noise
                 x = x + eps * (sigma_hat**2 - sigmas[i] ** 2) ** 0.5
-            d = (x - den(x, sigma_hat, cfg_at(sigma_hat))) / sigma_hat
+            denoised = den(x, sigma_hat, cfg_at(sigma_hat))
+            d = (x - denoised) / sigma_hat
             x = x + d * (sigmas[i + 1] - sigma_hat)
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigma_hat, sigmas[i + 1])
         return x
 
-    def _solve_euler_a(self, den, x, sigmas, cfg_at, rng):
+    def _solve_euler_a(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
             sd, su = _ancestral_step(sigmas[i], sigmas[i + 1], self.eta)
             d = (x - denoised) / sigmas[i]
             x = x + d * (sd - sigmas[i])
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigmas[i], sd)
             if sigmas[i + 1] > 0:
                 rng, k = jax.random.split(rng)
                 x = x + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
         return x
 
-    def _solve_heun(self, den, x, sigmas, cfg_at, rng):
+    def _solve_heun(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             gamma = self._churn(i, n + 1, sigmas[i])
@@ -437,7 +447,8 @@ class EDMSampler(Sampler):
                 rng, k = jax.random.split(rng)
                 eps = jax.random.normal(k, x.shape, x.dtype) * self.s_noise
                 x = x + eps * (sigma_hat**2 - sigmas[i] ** 2) ** 0.5
-            d = (x - den(x, sigma_hat, cfg_at(sigma_hat))) / sigma_hat
+            denoised = den(x, sigma_hat, cfg_at(sigma_hat))
+            d = (x - denoised) / sigma_hat
             dt = sigmas[i + 1] - sigma_hat
             if sigmas[i + 1] == 0:
                 x = x + d * dt
@@ -445,9 +456,11 @@ class EDMSampler(Sampler):
                 x_2 = x + d * dt
                 d_2 = (x_2 - den(x_2, sigmas[i + 1], cfg_at(sigmas[i + 1]))) / sigmas[i + 1]
                 x = x + (d + d_2) / 2 * dt
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigma_hat, sigmas[i + 1])
         return x
 
-    def _solve_dpm_2(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpm_2(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             gamma = self._churn(i, n + 1, sigmas[i])
@@ -456,7 +469,8 @@ class EDMSampler(Sampler):
                 rng, k = jax.random.split(rng)
                 eps = jax.random.normal(k, x.shape, x.dtype) * self.s_noise
                 x = x + eps * (sigma_hat**2 - sigmas[i] ** 2) ** 0.5
-            d = (x - den(x, sigma_hat, cfg_at(sigma_hat))) / sigma_hat
+            denoised = den(x, sigma_hat, cfg_at(sigma_hat))
+            d = (x - denoised) / sigma_hat
             if sigmas[i + 1] == 0:
                 x = x + d * (sigmas[i + 1] - sigma_hat)
             else:
@@ -464,9 +478,11 @@ class EDMSampler(Sampler):
                 x_2 = x + d * (sigma_mid - sigma_hat)
                 d_2 = (x_2 - den(x_2, sigma_mid, cfg_at(sigma_mid))) / sigma_mid
                 x = x + d_2 * (sigmas[i + 1] - sigma_hat)
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigma_hat, sigmas[i + 1])
         return x
 
-    def _solve_dpm_2_a(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpm_2_a(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
@@ -474,16 +490,20 @@ class EDMSampler(Sampler):
             d = (x - denoised) / sigmas[i]
             if sd == 0:
                 x = x + d * (sd - sigmas[i])
+                if gnudge is not None:
+                    x = x + gnudge(denoised, sigmas[i], sd)
             else:
                 sigma_mid = np.exp(np.log(sigmas[i]) * 0.5 + np.log(sd) * 0.5)
                 x_2 = x + d * (sigma_mid - sigmas[i])
                 d_2 = (x_2 - den(x_2, sigma_mid, cfg_at(sigma_mid))) / sigma_mid
                 x = x + d_2 * (sd - sigmas[i])
+                if gnudge is not None:
+                    x = x + gnudge(denoised, sigmas[i], sd)
                 rng, k = jax.random.split(rng)
                 x = x + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
         return x
 
-    def _solve_lms(self, den, x, sigmas, cfg_at, rng):
+    def _solve_lms(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         ds = []
         for i in range(n):
@@ -495,6 +515,8 @@ class EDMSampler(Sampler):
             cur_order = min(i + 1, self.order)
             coeffs = [_lms_coeff(cur_order, sigmas, i, j) for j in range(cur_order)]
             x = x + sum(c * d_ for c, d_ in zip(coeffs, reversed(ds)))
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigmas[i], sigmas[i + 1])
         return x
 
     # -- k-diffusion DPMSolver (eps-parameterized, t = -log sigma) -------- #
@@ -538,7 +560,7 @@ class EDMSampler(Sampler):
             - sig(t_next) / r2 * (np.expm1(h) / h - 1) * (eps_r2 - eps)
         )
 
-    def _solve_dpm_fast(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpm_fast(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         """DPM-Solver-Fast, fixed step (k_diffusion.py:393-430, :498-510)."""
         pos = sigmas[sigmas > 0]
         t_start, t_end = -np.log(pos.max()), -np.log(pos.min())
@@ -555,13 +577,20 @@ class EDMSampler(Sampler):
                 su = max(np.exp(-2 * t_next) - np.exp(-2 * t_next_), 0.0) ** 0.5
             else:
                 t_next_, su = t_next, 0.0
-            x = self._kd_step(den, x, t, t_next_, o, cfg_at)
+            eps0 = self._kd_eps(den, x, t, cfg_at)
+            x_new = self._kd_step(den, x, t, t_next_, o, cfg_at, eps0=eps0)
+            if gnudge is not None:
+                denoised0 = x - float(np.exp(-t)) * eps0
+                x_new = x_new + gnudge(
+                    denoised0, float(np.exp(-t)), float(np.exp(-t_next_))
+                )
+            x = x_new
             if su > 0:
                 rng, k = jax.random.split(rng)
                 x = x + su * s_noise * jax.random.normal(k, x.shape, x.dtype)
         return x
 
-    def _solve_dpm_adaptive(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpm_adaptive(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         """DPM-Solver-12/23 with PID-controlled adaptive steps
         (k_diffusion.py:309-336, :432-496). The step size is data-dependent,
         so this solver runs EAGERLY (host loop of jitted model calls); it
@@ -636,6 +665,11 @@ class EDMSampler(Sampler):
             if accept:
                 errs[2], errs[1] = errs[1], errs[0]
                 x_prev = x_low
+                if gnudge is not None:
+                    denoised0 = x - float(np.exp(-s)) * eps0
+                    x_high = x_high + gnudge(
+                        denoised0, float(np.exp(-s)), float(np.exp(-t_))
+                    )
                 x = x_high
                 if su > 0:
                     rng, k = jax.random.split(rng)
@@ -644,7 +678,7 @@ class EDMSampler(Sampler):
             h *= factor
         return x
 
-    def _solve_dpmpp_2s_a(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpmpp_2s_a(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
@@ -659,15 +693,19 @@ class EDMSampler(Sampler):
                 x_2 = np.exp(-s + t) * x - np.expm1(-h * 0.5) * denoised
                 denoised_2 = den(x_2, np.exp(-s), cfg_at(np.exp(-s)))
                 x = np.exp(-t_next + t) * x - np.expm1(-h) * denoised_2
+            if gnudge is not None:
+                x = x + gnudge(denoised, sigmas[i], sd)
             if sigmas[i + 1] > 0:
                 rng, k = jax.random.split(rng)
                 x = x + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
         return x
 
-    def _solve_dpmpp_sde(self, den, x, sigmas, cfg_at, rng, r=0.5):
+    def _solve_dpmpp_sde(self, den, x, sigmas, cfg_at, rng, r=0.5, gnudge=None):
         n = len(sigmas) - 1
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
+            if gnudge is not None:
+                gn = gnudge(denoised, sigmas[i], sigmas[i + 1])
             if sigmas[i + 1] == 0:
                 d = (x - denoised) / sigmas[i]
                 x = x + d * (sigmas[i + 1] - sigmas[i])
@@ -703,9 +741,11 @@ class EDMSampler(Sampler):
                 denoised_d = (1 - fac) * denoised + fac * denoised_2
                 x = np.exp(-(t_next_ - t)) * x - np.expm1(t - t_next_) * denoised_d
                 x = x + n2 * self.s_noise * su
+            if gnudge is not None:
+                x = x + gn
         return x
 
-    def _solve_dpmpp_2m(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpmpp_2m(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1
         old_denoised = None
         for i in range(n):
@@ -713,6 +753,8 @@ class EDMSampler(Sampler):
             if sigmas[i + 1] == 0:
                 # sigma_fn(t_next)=0 collapses the update to x = denoised
                 x = denoised
+                if gnudge is not None:
+                    x = x + gnudge(denoised, sigmas[i], sigmas[i + 1])
             else:
                 t, t_next = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
                 h = t_next - t
@@ -724,16 +766,21 @@ class EDMSampler(Sampler):
                     r_ = h_last / h
                     denoised_d = (1 + 1 / (2 * r_)) * denoised - (1 / (2 * r_)) * old_denoised
                     x = ratio * x - np.expm1(-h) * denoised_d
+                if gnudge is not None:
+                    x = x + gnudge(denoised, sigmas[i], sigmas[i + 1])
             old_denoised = denoised
         return x
 
-    def _solve_dpmpp_2m_sde(self, den, x, sigmas, cfg_at, rng, solver_type="midpoint"):
+    def _solve_dpmpp_2m_sde(self, den, x, sigmas, cfg_at, rng,
+                            solver_type="midpoint", gnudge=None):
         n = len(sigmas) - 1
         old_denoised, h_last = None, None
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
+            if gnudge is not None:
+                x_g = gnudge(denoised, sigmas[i], sigmas[i + 1])
             if sigmas[i + 1] == 0:
-                x = denoised
+                x = denoised + (x_g if gnudge is not None else 0.0)
             else:
                 t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
                 h = s - t
@@ -753,25 +800,29 @@ class EDMSampler(Sampler):
                     x = x + jax.random.normal(k, x.shape, x.dtype) * sigmas[i + 1] * np.sqrt(
                         -np.expm1(-2 * eta_h)
                     ) * self.s_noise
+                if gnudge is not None:
+                    x = x + x_g
                 old_denoised, h_last = denoised, h
         return x
 
-    def _solve_dpmpp_3m_sde(self, den, x, sigmas, cfg_at, rng):
-        """Default CLI solver: compiled as ONE lax.scan over host-precomputed
-        coefficient tables (all h/r/phi scalars are schedule-static; the
-        carries are the two previous denoised tensors). Falls back to the
-        unrolled form only for the reference-shaped final step handling,
-        which is itself in the tables."""
-        return self._solve_dpmpp_3m_sde_scan(den, x, sigmas, cfg_at, rng)
+    def _solve_dpmpp_3m_sde(self, den, x, sigmas, cfg_at, rng, gnudge=None):
+        """Unrolled fallback; sample() routes dpm++_3m_sde through
+        _sample_3m_sde_scan (one lax.scan over host-precomputed coefficient
+        tables), so this only runs if that dispatch is bypassed."""
+        return self._solve_dpmpp_3m_sde_unrolled(den, x, sigmas, cfg_at, rng,
+                                                 gnudge=gnudge)
 
-    def _solve_dpmpp_3m_sde_unrolled(self, den, x, sigmas, cfg_at, rng):
+    def _solve_dpmpp_3m_sde_unrolled(self, den, x, sigmas, cfg_at, rng,
+                                     gnudge=None):
         n = len(sigmas) - 1
         d1_prev, d2_prev = None, None  # denoised_1, denoised_2
         h_1, h_2 = None, None
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
+            if gnudge is not None:
+                x_g = gnudge(denoised, sigmas[i], sigmas[i + 1])
             if sigmas[i + 1] == 0:
-                x = denoised
+                x = denoised + (x_g if gnudge is not None else 0.0)
             else:
                 t, s = -np.log(sigmas[i]), -np.log(sigmas[i + 1])
                 h = s - t
@@ -796,6 +847,8 @@ class EDMSampler(Sampler):
                     x = x + jax.random.normal(k, x.shape, x.dtype) * sigmas[i + 1] * np.sqrt(
                         -np.expm1(-2 * h * self.eta)
                     ) * self.s_noise
+                if gnudge is not None:
+                    x = x + x_g
                 d1_prev, d2_prev = denoised, d1_prev
                 h_1, h_2 = h, h_1
         return x

@@ -23,12 +23,18 @@ def main():
 
     import jax
 
+    from diffbir_tpu.parallel.distributed import maybe_initialize_distributed
+
     from diffbir_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # multi-host: DIFFBIR_COORDINATOR/NUM_PROCESSES/PROCESS_ID env (or
+    # DIFFBIR_AUTO_DISTRIBUTED=1 on a TPU pod slice) — the `accelerate
+    # launch` equivalent; must precede any backend init
+    maybe_initialize_distributed()
 
     import numpy as np
     import jax.numpy as jnp
@@ -39,6 +45,10 @@ def main():
     from diffbir_tpu import dataset as _ds  # noqa: F401
     from diffbir_tpu.models.cldm import ControlLDM
     from diffbir_tpu.models.tokenizer import get_tokenizer
+    from diffbir_tpu.parallel.distributed import (
+        batch_pspec, gather_to_host, is_main_process, make_global_mesh,
+        process_seed, shard_global_batch, sync_processes,
+    )
     from diffbir_tpu.parallel.mesh import make_mesh
     from diffbir_tpu.sampler import SpacedSampler
     from diffbir_tpu.schedule import Schedule
@@ -50,11 +60,20 @@ def main():
     tcfg = cfg["train"]
     os.makedirs(tcfg["exp_dir"], exist_ok=True)
 
-    mesh = make_mesh(n_data=tcfg.get("n_data"))
-    n_data = mesh.shape["data"]
+    if jax.process_count() > 1:
+        mesh = make_global_mesh()
+        n_data = mesh.shape["dcn"] * mesh.shape["data"]
+    else:
+        mesh = make_mesh(n_data=tcfg.get("n_data"))
+        n_data = mesh.shape["data"]
+    main = is_main_process()
     bs = tcfg["batch_size"]
     assert bs % n_data == 0
-    print(f"mesh: data={n_data}; global batch {bs}")
+    assert bs % jax.process_count() == 0
+    bs_local = bs // jax.process_count()
+    if main:
+        print(f"mesh: {dict(mesh.shape)}; global batch {bs} "
+              f"({jax.process_count()} proc x {bs_local})")
 
     # ---- models ----
     cldm = ControlLDM.sd21(
@@ -110,10 +129,11 @@ def main():
     )
     if tcfg.get("resume"):
         state = ckpt_mgr.restore(int(tcfg["resume"]), args=ocp.args.StandardRestore(state))
-        print(f"resumed @ {int(state.step)}")
+        if main:
+            print(f"resumed @ {int(state.step)}")
 
     rep = NamedSharding(mesh, P())
-    dat = NamedSharding(mesh, P("data"))
+    dat = NamedSharding(mesh, batch_pspec(mesh))
     if tcfg.get("fsdp", False):
         # ZeRO-style: every param leaf + AdamW moment sharded over the data
         # axis (largest divisible dim); XLA all-gathers weights per use and
@@ -130,7 +150,10 @@ def main():
             donate_argnums=(0,),
             out_shardings=(state_shardings, None),
         )
-        print(f"fsdp: state sharded over data={n_data}")
+        if main:
+            print(f"fsdp: state sharded over data={mesh.shape['data']}"
+                  + (f" x dcn-replicated {mesh.shape['dcn']}"
+                     if "dcn" in mesh.axis_names else ""))
     else:
         state = jax.device_put(state, rep)
 
@@ -145,16 +168,19 @@ def main():
 
         native = native_available()
         print(f"native C++ data loader: {'on' if native else 'unavailable, python fallback'}")
-    src = (ds.as_iterator(bs, seed=tcfg.get("seed", 231), native=True)
-           if native else ds.as_iterator(bs, seed=tcfg.get("seed", 231)))
+    seed = process_seed(tcfg.get("seed", 231))  # per-process data stream
+    src = (ds.as_iterator(bs_local, seed=seed, native=True)
+           if native else ds.as_iterator(bs_local, seed=seed))
     it = PrefetchIterator(src, transform=bt)
 
-    try:
-        from tensorboardX import SummaryWriter
+    writer = None
+    if main:
+        try:
+            from tensorboardX import SummaryWriter
 
-        writer = SummaryWriter(os.path.join(tcfg["exp_dir"], "tb"))
-    except ImportError:
-        writer = None
+            writer = SummaryWriter(os.path.join(tcfg["exp_dir"], "tb"))
+        except ImportError:
+            pass
 
     deploy_ckptr = ocp.StandardCheckpointer()
 
@@ -180,8 +206,8 @@ def main():
     while step < tcfg["train_steps"]:
         batch = next(it)
         tokens = tokenizer(batch["txt"] if "txt" in batch else batch["prompt"])
-        dev_batch = jax.device_put(
-            {"gt": batch["gt"], "lq": batch["lq"], "tokens": tokens}, dat
+        dev_batch = shard_global_batch(
+            mesh, {"gt": batch["gt"], "lq": batch["lq"], "tokens": tokens}, dat.spec
         )
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, dev_batch, sub)
@@ -190,10 +216,11 @@ def main():
             loss = float(metrics["loss"])
             ips = tcfg["log_every"] * bs / (time.time() - t0)
             t0 = time.time()
-            print(f"step {step}: loss={loss:.4f} grad={float(metrics['grad_norm']):.3f} images/s={ips:.1f}")
+            if main:
+                print(f"step {step}: loss={loss:.4f} grad={float(metrics['grad_norm']):.3f} images/s={ips:.1f}")
             if writer:
                 writer.add_scalar("train/loss", loss, step)
-        if writer and step % tcfg.get("image_every", 1000) == 0:
+        if writer and jax.process_count() == 1 and step % tcfg.get("image_every", 1000) == 0:
             n = min(4, bs)
             clean_small = cleaner_apply(dev_batch["lq"][:n])
             grid = preview_fn(state.params, clean_small, dev_batch["tokens"][:n],
@@ -205,23 +232,29 @@ def main():
                 "train/lq", np.asarray(dev_batch["lq"][:n]).transpose(0, 3, 1, 2), step
             )
         if step % tcfg["ckpt_every"] == 0:
+            # all processes participate in the orbax save (multihost protocol)
             ckpt_mgr.save(step, args=ocp.args.StandardSave(state))
-            # deployable artifact: controlnet subtree only (train_stage2.py:178-182)
-            deploy_ckptr.save(
-                os.path.abspath(os.path.join(tcfg["exp_dir"], f"controlnet_{step}")),
-                {"controlnet": jax.device_get(state.params["controlnet"])},
-            )
-            if tcfg.get("export_torch", False):
-                # torch-layout .pth consumable by the reference stack
-                from diffbir_tpu.weights.convert import (
-                    flax_to_torch_state_dict, save_torch_checkpoint,
+            # deployable artifact: controlnet subtree only (train_stage2.py:178-182);
+            # gather_to_host all-gathers FSDP shards so every host can read,
+            # process 0 writes
+            cn_host = gather_to_host(mesh, state.params["controlnet"])
+            if main:
+                deploy_ckptr.save(
+                    os.path.abspath(os.path.join(tcfg["exp_dir"], f"controlnet_{step}")),
+                    {"controlnet": cn_host},
                 )
+                if tcfg.get("export_torch", False):
+                    # torch-layout .pth consumable by the reference stack
+                    from diffbir_tpu.weights.convert import (
+                        flax_to_torch_state_dict, save_torch_checkpoint,
+                    )
 
-                save_torch_checkpoint(
-                    flax_to_torch_state_dict(jax.device_get(state.params["controlnet"])),
-                    os.path.join(tcfg["exp_dir"], f"controlnet_{step}.pth"),
-                )
-            print(f"saved checkpoints @ {step}")
+                    save_torch_checkpoint(
+                        flax_to_torch_state_dict(cn_host),
+                        os.path.join(tcfg["exp_dir"], f"controlnet_{step}.pth"),
+                    )
+                print(f"saved checkpoints @ {step}")
+            sync_processes("ckpt")
     if step not in ckpt_mgr.all_steps():  # avoid StepAlreadyExistsError when
         ckpt_mgr.save(step, args=ocp.args.StandardSave(state))  # loop ended on ckpt_every
     ckpt_mgr.wait_until_finished()
