@@ -115,6 +115,12 @@ class CodeformerDataset:
         if native:
             yield from self._as_native_iterator(batch_size, seed, num_threads, shuffle)
             return
+        if len(self) < batch_size:
+            # the drop-last epoch loop below would otherwise spin forever
+            # yielding nothing
+            raise ValueError(
+                f"dataset has {len(self)} items < batch_size={batch_size}"
+            )
         order_rng = np.random.default_rng(seed)
         # reproducibility: degradation/prompt sampling shares the seed too
         self._rng = np.random.default_rng(seed + 1)

@@ -96,6 +96,41 @@ def rgb2ycbcr_y(x: jax.Array) -> jax.Array:
     return jnp.tensordot(x, w, axes=[[-1], [0]]) + 16.0 / 255.0
 
 
+def ssim(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Mean SSIM per batch item between [0,1] NHWC batches.
+
+    Standard Wang et al. settings: 11x11 gaussian window (sigma 1.5),
+    K1=0.01 / K2=0.03, valid padding, averaged over space and channels.
+    (The reference repo has no SSIM; this backs the turbo-drift accounting.)
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    r = jnp.arange(11, dtype=jnp.float32) - 5.0
+    g = jnp.exp(-(r**2) / (2.0 * 1.5**2))
+    g = g / jnp.sum(g)
+    c = a.shape[-1]
+
+    def blur(x):
+        # separable depthwise gaussian, valid padding
+        kh = jnp.tile(g.reshape(11, 1, 1, 1), (1, 1, 1, c))
+        kw = jnp.tile(g.reshape(1, 11, 1, 1), (1, 1, 1, c))
+        dn = jax.lax.conv_dimension_numbers(x.shape, (11, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn,
+                                         feature_group_count=c)
+        return jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn,
+                                            feature_group_count=c)
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a**2
+    var_b = blur(b * b) - mu_b**2
+    cov = blur(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s, axis=(1, 2, 3))
+
+
 def psnr(a: jax.Array, b: jax.Array, crop_border: int = 0, test_y: bool = False):
     """PSNR between [0,1] NHWC batches (common.py:359-390)."""
     if crop_border:

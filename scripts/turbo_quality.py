@@ -1,0 +1,142 @@
+"""Turbo drift accounting: same-seed turbo vs full-run outputs.
+
+Turbo (interval-cached ControlNet residuals + optional UNet-encoder
+propagation) is this repo's implementation of the reference's DiffBIR-turbo
+TODO (/root/reference/README.md:95-96). Its speedups (scripts/bench_turbo.py)
+are only meaningful with a quality bound, so this script runs the FULL
+512x512 50-step pipeline once per turbo config with identical rng / x_T /
+weights and reports PSNR + SSIM of each turbo output against the exact
+(interval=1) output. Results -> TURBO_QUALITY.json at the repo root.
+
+Weights: random-init full-size SD2.1 (no checkpoints in this environment);
+re-run unchanged when real weights land to refresh the numbers. Random
+weights are the conservative case for the ControlNet cache: trained
+ControlNet residuals vary smoothly along the trajectory, random ones don't.
+
+Usage: PYTHONPATH=/root/.axon_site python scripts/turbo_quality.py
+       [--steps 50] [--images 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/diffbir_tpu_jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM
+from diffbir_tpu.models.swinir import SwinIR
+from diffbir_tpu.sampler import SpacedSampler
+from diffbir_tpu.schedule import Schedule
+from diffbir_tpu.utils.common import psnr, ssim, wavelet_reconstruction
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_lq(seed: int, size: int = 512) -> np.ndarray:
+    """Structured synthetic image (smooth field + hard edges), like a
+    natural photo's spectrum — NOT white noise, which is adversarial for
+    any caching scheme."""
+    g = np.random.default_rng(seed)
+    low = g.random((8, 8, 3)).astype(np.float32)
+    img = jax.image.resize(jnp.asarray(low), (size, size, 3), "cubic")
+    img = np.asarray(img)
+    for _ in range(6):
+        y, x = g.integers(16, size - 80, 2)
+        img[y : y + 64, x : x + 64] = g.random(3)
+    return np.clip(img, 0, 1)[None]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--images", type=int, default=2)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    swin = SwinIR(dtype=jnp.bfloat16)
+    schedule = Schedule.create(timesteps=1000, parameterization="v", zero_snr=True)
+    sampler = SpacedSampler(schedule.betas, "v", rescale_cfg=False)
+    bf = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+    )
+    lat = (args.size // 8, args.size // 8)
+    params = bf(jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), lat))
+    sp = bf(jax.jit(swin.init)(jax.random.PRNGKey(1), jnp.zeros((1, args.size, args.size, 3))))
+    tokens = jnp.zeros((1, 77), jnp.int32)
+
+    def make_fn(interval, enc):
+        def restore(params, sp, lq, pos, neg, rng):
+            cond_img = jnp.clip(swin.apply(sp, lq), 0, 1)
+            cond = cldm.prepare_condition(params, cond_img, pos)
+            uncond = cldm.prepare_condition(params, cond_img, neg)
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+            if interval > 1:
+                model_fn = cldm.make_cached_control_model(
+                    params, 1.0, interval, lat, call_batch=2,
+                    cache_unet_encoder=enc,
+                )
+            else:
+                model_fn = lambda x, t, c: cldm(params, x, t, c)  # noqa: E731
+            z = sampler.sample(model_fn, x_T, cond, uncond, 4.0, args.steps, k2)
+            out = wavelet_reconstruction((cldm.vae_decode(params, z) + 1) / 2, cond_img)
+            return jnp.clip(out, 0, 1)
+
+        return jax.jit(restore)
+
+    lqs = [jnp.asarray(make_lq(7 + i, args.size)) for i in range(args.images)]
+    configs = [(1, False), (2, False), (3, False), (5, False), (3, True), (5, True)]
+    outputs = {}
+    for interval, enc in configs:
+        fn = make_fn(interval, enc)
+        outs = []
+        t0 = time.time()
+        for i, lq in enumerate(lqs):
+            # identical rng per image across configs: drift is the ONLY delta
+            o = fn(params, sp, lq, tokens, tokens, jax.random.PRNGKey(100 + i))
+            outs.append(np.asarray(o.astype(jnp.float32)))
+        outputs[(interval, enc)] = outs
+        print(f"interval={interval} enc={enc}: ran {len(lqs)} images "
+              f"in {time.time() - t0:.1f}s", flush=True)
+
+    base = outputs[(1, False)]
+    rows = []
+    for interval, enc in configs[1:]:
+        ps, ss = [], []
+        for o, b in zip(outputs[(interval, enc)], base):
+            ps.append(float(psnr(jnp.asarray(o), jnp.asarray(b))[0]))
+            ss.append(float(ssim(jnp.asarray(o), jnp.asarray(b))[0]))
+        rows.append({
+            "control_interval": interval,
+            "turbo_encoder": enc,
+            "psnr_vs_full_db": round(float(np.mean(ps)), 2),
+            "psnr_min_db": round(float(np.min(ps)), 2),
+            "ssim_vs_full": round(float(np.mean(ss)), 4),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = {
+        "protocol": {
+            "size": args.size, "steps": args.steps, "sampler": "spaced",
+            "cfg": 4.0, "images": args.images, "weights": "random-init sd21",
+            "note": "PSNR/SSIM of turbo output vs exact interval=1 output, "
+                    "same seed/x_T; refresh with real weights via this script",
+        },
+        "results": rows,
+    }
+    with open(os.path.join(REPO, "TURBO_QUALITY.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote TURBO_QUALITY.json")
+
+
+if __name__ == "__main__":
+    main()
