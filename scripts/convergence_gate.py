@@ -256,18 +256,20 @@ def run_stage2(work_dir: str, steps: int = 360, batch_size: int = 8,
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
-        if (step + 1) % 60 == 0:
-            log(f"  stage2 step {step+1}: loss={np.mean(losses[-20:]):.4f}")
+        if (step + 1) % 20 == 0:
+            log(f"  stage2 step {step+1}: loss={np.mean(losses[-20:]):.4f} "
+                f"({time.time() - t0:.0f}s)")
     it.close()
 
     # --- orbax save + restore into a FRESH state (mid-run resume) ---------
     ckpt_mgr.save(mid, args=ocp.args.StandardSave(jax.device_get(state)))
     ckpt_mgr.wait_until_finished()
+    log(f"  stage2 orbax save done ({time.time() - t0:.0f}s)")
     fresh = stage2.init_train_state(params, opt)  # abstract target tree
     restored = ckpt_mgr.restore(mid, args=ocp.args.StandardRestore(fresh))
     assert int(restored.step) == mid, (int(restored.step), mid)
     state = fsdp_shard_params(mesh, restored)
-    log(f"  stage2 resumed from orbax @ step {mid}")
+    log(f"  stage2 resumed from orbax @ step {mid} ({time.time() - t0:.0f}s)")
 
     it = data_iter(1)
     for step in range(mid, steps):
@@ -279,8 +281,9 @@ def run_stage2(work_dir: str, steps: int = 360, batch_size: int = 8,
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
-        if (step + 1) % 60 == 0:
-            log(f"  stage2 step {step+1}: loss={np.mean(losses[-20:]):.4f}")
+        if (step + 1) % 20 == 0:
+            log(f"  stage2 step {step+1}: loss={np.mean(losses[-20:]):.4f} "
+                f"({time.time() - t0:.0f}s)")
     it.close()
 
     # --- deployable export: controlnet subtree (orbax) + torch .pth -------
@@ -318,7 +321,12 @@ def run_stage2(work_dir: str, steps: int = 360, batch_size: int = 8,
 
 
 def main():
+    import faulthandler
     import tempfile
+
+    # periodic all-thread stack dumps to stderr: a hang in a jitted call,
+    # orbax I/O, or the prefetch worker becomes diagnosable post-mortem
+    faulthandler.dump_traceback_later(900, repeat=True)
 
     with tempfile.TemporaryDirectory() as work:
         print("== stage 1 (SwinIR regression) ==")

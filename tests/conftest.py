@@ -32,6 +32,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running convergence/e2e tests (DIFFBIR_RUN_SLOW=1)"
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
