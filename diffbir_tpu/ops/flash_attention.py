@@ -27,6 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _exp_bf16() -> bool:
+    import os
+
+    return os.environ.get("DIFFBIR_TPU_FLASH_EXP", "fp32") == "bf16"
+
+
 def _block_sizes(sq: int, skv: int):
     # v5e sweep at 4096 tokens (bf16 operands): (2048,1024) 0.831 ms,
     # (1024,1024) 0.887, (512,1024) 0.906, (1024,2048) 0.932; (2048,2048)
@@ -54,7 +60,7 @@ def supported(q, k, v, mask=None, bias=None) -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
-            kv_len, masked):
+            kv_len, masked, exp_bf16=False):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -91,8 +97,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
     m_next = jnp.maximum(m_prev, m_cur)  # (BQ, 128)
     alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (BQ, 1)
-    p = jnp.exp(s - m_next[:, :1])  # (BQ, BK)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if exp_bf16:
+        # bf16 transcendental: ~2x VPU rate on packed lanes. p is cast to
+        # bf16 for the PV dot anyway; only the softmax denominator loses
+        # precision (fp32 accumulation over bf16 terms, ~1e-3 relative).
+        p = jnp.exp((s - m_next[:, :1]).astype(jnp.bfloat16))
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(
+            p.astype(jnp.float32), axis=-1, keepdims=True
+        )
+    else:
+        p = jnp.exp(s - m_next[:, :1])  # (BQ, BK)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_next
 
     v = v_ref[0]  # (BK, D)
@@ -113,11 +128,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]. Forward = Pallas kernel;
     backward differentiates the XLA reference formulation (recompute)."""
-    return _flash_attention_impl(q, k, v)
+    return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16())
 
 
 def _flash_fwd(q, k, v):
-    return _flash_attention_impl(q, k, v), (q, k, v)
+    return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16()), (q, k, v)
 
 
 def _flash_bwd(res, g):
@@ -131,9 +146,10 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "exp_bf16"))
 def _flash_attention_impl(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False,
+    exp_bf16: bool = False,
 ) -> jax.Array:
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -154,7 +170,7 @@ def _flash_attention_impl(
 
     out = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale, kv_len=skv,
-                          masked=pad != 0),
+                          masked=pad != 0, exp_bf16=exp_bf16),
         out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
         grid=(b * h, nq, nk),
         in_specs=[
