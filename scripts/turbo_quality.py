@@ -47,7 +47,7 @@ def make_lq(seed: int, size: int = 512) -> np.ndarray:
     g = np.random.default_rng(seed)
     low = g.random((8, 8, 3)).astype(np.float32)
     img = jax.image.resize(jnp.asarray(low), (size, size, 3), "cubic")
-    img = np.asarray(img)
+    img = np.array(img)  # writable host copy
     for _ in range(6):
         y, x = g.integers(16, size - 80, 2)
         img[y : y + 64, x : x + 64] = g.random(3)
@@ -70,6 +70,23 @@ def main():
     )
     lat = (args.size // 8, args.size // 8)
     params = bf(jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), lat))
+
+    # De-zero the SD zero_module sites (unet out convs, controlnet zero
+    # convs): at random init they make the model output identically zero,
+    # which would render every turbo config vacuously bit-exact. Trained
+    # weights are non-zero there; small noise stands in for them.
+    def dezero(tree, rng):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(rng, len(leaves))
+        out = []
+        for leaf, k in zip(leaves, keys):
+            if leaf.size and not np.any(np.asarray(leaf)):
+                out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * 0.02)
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    params = dezero(params, jax.random.PRNGKey(42))
     sp = bf(jax.jit(swin.init)(jax.random.PRNGKey(1), jnp.zeros((1, args.size, args.size, 3))))
     tokens = jnp.zeros((1, 77), jnp.int32)
 
@@ -109,6 +126,12 @@ def main():
               f"in {time.time() - t0:.1f}s", flush=True)
 
     base = outputs[(1, False)]
+    # guard against vacuous measurements (e.g. a zero-output model)
+    probe = float(np.abs(outputs[(5, False)][0] - base[0]).max())
+    assert probe > 1e-6, (
+        f"turbo interval=5 output is bit-identical to exact (max-abs {probe}); "
+        "the cache is not engaging or the model is degenerate"
+    )
     rows = []
     for interval, enc in configs[1:]:
         ps, ss = [], []
