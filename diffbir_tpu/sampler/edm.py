@@ -130,9 +130,22 @@ class EDMSampler(Sampler):
         if cond_fn is not None:
             assert guidance_target is not None, "guidance needs a target"
 
+        sigmas_j = jnp.asarray(sigmas, jnp.float32)
+        ts_j = jnp.asarray(ts, jnp.float32)
+
+        def _model_t_traced(sigma):
+            return ts_j[jnp.argmin(jnp.abs(sigma - sigmas_j))]
+
         def denoiser(x, sigma: float, rescaled_cfg: float):
-            """x0-prediction denoiser (edm_sampler.py:98-137)."""
-            sigma = float(sigma)
+            """x0-prediction denoiser (edm_sampler.py:98-137).
+
+            ``sigma`` is a host float for the unrolled/eager solvers (scalar
+            math in float64, constants baked into the trace) OR a traced
+            fp32 scalar for the jitted dpm_adaptive path — same formulas,
+            jnp handles both."""
+            traced = isinstance(sigma, jax.core.Tracer)
+            if not traced:
+                sigma = float(sigma)
             if v_param:
                 c_skip = 1.0 / (sigma**2 + 1.0)
                 c_out = -sigma / (sigma**2 + 1.0) ** 0.5
@@ -140,7 +153,8 @@ class EDMSampler(Sampler):
                 c_skip = 1.0
                 c_out = -sigma
             c_in = 1.0 / (sigma**2 + 1.0) ** 0.5
-            t_model = self._model_t(sigma, sigmas, ts)
+            t_model = (_model_t_traced(sigma) if traced
+                       else self._model_t(sigma, sigmas, ts))
             t_vec = jnp.full((bs,), t_model, jnp.float32)
 
             def call(c):
@@ -171,6 +185,14 @@ class EDMSampler(Sampler):
             # (No reference semantics exist: upstream guidance is
             # spaced-sampler-only.) Pinned by tests/test_guidance_strength.py.
             def gnudge(denoised, sigma_from: float, sigma_to: float):
+                if isinstance(sigma_from, jax.core.Tracer) or isinstance(
+                    sigma_to, jax.core.Tracer
+                ):
+                    # traced variant (jitted dpm_adaptive): gate via lax.cond
+                    t_model = _model_t_traced(sigma_from)
+                    g_on = (t_model <= cond_fn.t_start) & (t_model >= cond_fn.t_stop)
+                    guided = apply_guidance(cond_fn, guidance_target, denoised, g_on)
+                    return (guided - denoised) * (1.0 - sigma_to / sigma_from)
                 t_model = self._model_t(sigma_from, sigmas, ts)
                 if not bool(guidance_gate(cond_fn, np.array([t_model]))[0]):
                     return 0.0
@@ -178,6 +200,13 @@ class EDMSampler(Sampler):
                 return (guided - denoised) * (1.0 - float(sigma_to) / float(sigma_from))
 
         def cfg_at(sigma: float) -> float:
+            if isinstance(sigma, jax.core.Tracer):
+                # traced cosine-ramp CFG (schedule.py:295-306 in jnp)
+                t_model = _model_t_traced(sigma)
+                if self.rescale_cfg and cfg_scale > 1:
+                    ramp = (1 - jnp.cos(jnp.pi * ((1000.0 - t_model) / 1000.0) ** 5.0)) / 2
+                    return 1.0 + cfg_scale * ramp
+                return jnp.float32(cfg_scale)
             t_model = self._model_t(sigma, sigmas, ts)
             return float(self.cfg_scales(cfg_scale, np.array([t_model]))[0])
 
@@ -592,16 +621,16 @@ class EDMSampler(Sampler):
 
     def _solve_dpm_adaptive(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         """DPM-Solver-12/23 with PID-controlled adaptive steps
-        (k_diffusion.py:309-336, :432-496). The step size is data-dependent,
-        so this solver runs EAGERLY (host loop of jitted model calls); it
-        cannot be embedded in a fully-jitted pipeline program — use it via
-        the sampler API directly."""
+        (k_diffusion.py:309-336, :432-496). The step size is data-dependent;
+        eagerly this runs as a host loop of jitted model calls (float64
+        controller scalars — the reference-parity path), and under jit it
+        dispatches to a ``lax.while_loop`` formulation (fp32 controller)
+        so the solver is embeddable in fully-jitted pipeline programs."""
         import math as _math
 
         if isinstance(x, jax.core.Tracer):
-            raise RuntimeError(
-                "edm_dpm_adaptive has data-dependent control flow and must run "
-                "eagerly (call sampler.sample outside jit)"
+            return self._solve_dpm_adaptive_traced(
+                den, x, sigmas, cfg_at, rng, gnudge=gnudge
             )
         # reference sample_dpm_adaptive(order=3): 4 is this class's generic
         # default (sample_lms parity), treat it as "unset" -> 3; any other
@@ -677,6 +706,140 @@ class EDMSampler(Sampler):
                 s = t
             h *= factor
         return x
+
+    def _solve_dpm_adaptive_traced(self, den, x, sigmas, cfg_at, rng,
+                                   gnudge=None, max_iters: int = 4096):
+        """jit-complete dpm_adaptive: the PID step-size controller as a
+        ``lax.while_loop`` (k_diffusion.py:309-336, :432-496 semantics).
+
+        Scalar controller math runs in fp32 on-device (the eager path uses
+        host float64), so accepted trajectories can differ from the eager
+        solver within controller rounding — pinned by
+        tests/test_samplers.py::test_dpm_adaptive_jit. The rng is split and
+        consumed only on accepted noisy steps, matching the eager path's
+        draw sequence. ``max_iters`` bounds the loop defensively (the eager
+        reference has no bound; a wedged controller would otherwise hang
+        the chip)."""
+        order = 3 if self.order == 4 else self.order
+        if order not in (2, 3):
+            raise ValueError("dpm_adaptive: order should be 2 or 3")
+        rtol, atol = 0.05, 0.0078
+        pcoeff, icoeff, dcoeff, accept_safety = 0.0, 1.0, 0.0, 0.81
+        eta, s_noise = self.eta, self.s_noise
+        pos = sigmas[sigmas > 0]
+        t_start, t_end = -np.log(pos.max()), -np.log(pos.min())
+        b1 = (pcoeff + icoeff + dcoeff) / (1.5 if eta else order)
+        b2 = -(pcoeff + 2 * dcoeff) / (1.5 if eta else order)
+        b3 = dcoeff / (1.5 if eta else order)
+        rsize = float(x.size ** 0.5)
+
+        def kd_eps(u, t):
+            sig = jnp.exp(-t)
+            return (u - den(u, sig, cfg_at(sig))) / sig
+
+        def kd_step(u, t, t_next, o, eps, r1=None, eps_r1=None):
+            # traced port of _kd_step (same formulas, jnp scalars)
+            h = t_next - t
+            if o == 1:
+                return u - jnp.exp(-t_next) * jnp.expm1(h) * eps
+            if o == 2:
+                r1_ = 0.5 if r1 is None else r1
+                if eps_r1 is None:
+                    s1 = t + r1_ * h
+                    u1 = u - jnp.exp(-s1) * jnp.expm1(r1_ * h) * eps
+                    eps_r1 = kd_eps(u1, s1)
+                return (
+                    u - jnp.exp(-t_next) * jnp.expm1(h) * eps
+                    - jnp.exp(-t_next) / (2 * r1_) * jnp.expm1(h) * (eps_r1 - eps)
+                )
+            r1_, r2 = 1 / 3, 2 / 3
+            s1, s2 = t + r1_ * h, t + r2 * h
+            if eps_r1 is None:
+                u1 = u - jnp.exp(-s1) * jnp.expm1(r1_ * h) * eps
+                eps_r1 = kd_eps(u1, s1)
+            u2 = (
+                u - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps
+                - jnp.exp(-s2) * (r2 / r1_)
+                * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps_r1 - eps)
+            )
+            eps_r2 = kd_eps(u2, s2)
+            return (
+                u - jnp.exp(-t_next) * jnp.expm1(h) * eps
+                - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps)
+            )
+
+        def cond(carry):
+            _, _, s, _, _, _, _, _, i = carry
+            return (s < t_end - 1e-5) & (i < max_iters)
+
+        def body(carry):
+            xc, x_prev, s, h, e1, e2, first, key, i = carry
+            t = jnp.minimum(t_end, s + h)
+            if eta:
+                s_from, s_to = jnp.exp(-s), jnp.exp(-t)
+                su_raw = eta * jnp.sqrt(
+                    s_to**2 * (s_from**2 - s_to**2) / s_from**2
+                )
+                sd = jnp.sqrt(s_to**2 - jnp.minimum(s_to, su_raw) ** 2)
+                t_ = jnp.minimum(t_end, -jnp.log(sd))
+                su = jnp.sqrt(
+                    jnp.maximum(jnp.exp(-2 * t) - jnp.exp(-2 * t_), 0.0)
+                )
+            else:
+                t_, su = t, None
+            eps0 = kd_eps(xc, s)
+            if order == 2:
+                x_low = kd_step(xc, s, t_, 1, eps0)
+                x_high = kd_step(xc, s, t_, 2, eps0)
+            else:
+                # x_low = 2_step(r1=1/3): its s+h/3 eval is SHARED with the
+                # 3-step (3 model evals per iteration, like the reference)
+                hh = t_ - s
+                s1 = s + hh / 3
+                u1 = xc - jnp.exp(-s1) * jnp.expm1(hh / 3) * eps0
+                eps_r1 = kd_eps(u1, s1)
+                x_low = kd_step(xc, s, t_, 2, eps0, r1=1 / 3, eps_r1=eps_r1)
+                x_high = kd_step(xc, s, t_, 3, eps0, eps_r1=eps_r1)
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev))
+            )
+            error = jnp.linalg.norm((x_low - x_high) / delta) / rsize
+            inv_err = 1.0 / (error + 1e-8)
+            e1_eff = jnp.where(first, inv_err, e1)
+            e2_eff = jnp.where(first, inv_err, e2)
+            factor = inv_err**b1 * e1_eff**b2 * e2_eff**b3
+            factor = 1 + jnp.arctan(factor - 1)
+            accept = factor >= accept_safety
+            if gnudge is not None:
+                x_high = x_high + gnudge(
+                    xc - jnp.exp(-s) * eps0, jnp.exp(-s), jnp.exp(-t_)
+                )
+            if eta:
+                key2, k = jax.random.split(key)
+                noisy = su > 0
+                x_high = x_high + jnp.where(noisy, su, 0.0) * s_noise * (
+                    jax.random.normal(k, xc.shape, xc.dtype)
+                )
+                key = jnp.where(accept & noisy, key2, key)
+            x_new = jnp.where(accept, x_high, xc)
+            return (
+                x_new,
+                jnp.where(accept, x_low, x_prev),
+                jnp.where(accept, t, s),
+                h * factor,
+                jnp.where(accept, inv_err, e1_eff),
+                jnp.where(accept, e1_eff, e2_eff),
+                jnp.zeros((), bool),
+                key,
+                i + 1,
+            )
+
+        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        carry = (
+            x, x, f32(t_start), f32(0.05), f32(1.0), f32(1.0),
+            jnp.ones((), bool), rng, jnp.zeros((), jnp.int32),
+        )
+        return jax.lax.while_loop(cond, body, carry)[0]
 
     def _solve_dpmpp_2s_a(self, den, x, sigmas, cfg_at, rng, gnudge=None):
         n = len(sigmas) - 1

@@ -204,3 +204,64 @@ def test_dpm_fast_and_adaptive(setup):
         out = s.sample(model_fn, x_T, cond, uncond, 1.5, 6, jax.random.PRNGKey(32))
         out = np.asarray(out)
         assert out.shape == X_SHAPE and np.all(np.isfinite(out)), solver
+
+
+@pytest.mark.parametrize("order,eta", [(3, 0.0), (2, 0.0), (3, 1.0)])
+def test_dpm_adaptive_jit(setup, order, eta):
+    """dpm_adaptive under jit (lax.while_loop PID controller) matches the
+    eager host-loop solver. At eta=0 both are deterministic; the only
+    divergence source is fp32-vs-float64 controller scalars, so the
+    trajectories agree tightly. eta>0 checks the jitted SDE path stays
+    finite and in-range (the rng consumption pattern matches eager, but
+    controller rounding can shift an accept decision, so no exact
+    comparison)."""
+    schedule, model_fn, cond, uncond = setup
+    s = EDMSampler(
+        schedule.betas, "eps", rescale_cfg=False,
+        solver_type="edm_dpm_adaptive", eta=eta, order=order,
+    )
+    x_T = jax.random.normal(jax.random.PRNGKey(41), X_SHAPE)
+
+    @jax.jit
+    def jitted(x_T, rng):
+        return s.sample(model_fn, x_T, cond, uncond, 1.5, 6, rng)
+
+    out_jit = np.asarray(jitted(x_T, jax.random.PRNGKey(42)))
+    assert out_jit.shape == X_SHAPE and np.all(np.isfinite(out_jit))
+    out_eager = np.asarray(
+        s.sample(model_fn, x_T, cond, uncond, 1.5, 6, jax.random.PRNGKey(42))
+    )
+    if eta == 0.0:
+        np.testing.assert_allclose(out_jit, out_eager, atol=2e-3, rtol=2e-3)
+    else:
+        # same support/scale even when an accept decision shifts
+        assert np.abs(out_jit).max() < 10 * max(np.abs(out_eager).max(), 1.0)
+
+
+def test_dpm_adaptive_jit_with_guidance(setup):
+    """The traced gnudge path (lax.cond gate) compiles and runs."""
+    from diffbir_tpu.utils.cond_fn import MSEGuidance
+
+    schedule, model_fn, cond, uncond = setup
+    s = EDMSampler(
+        schedule.betas, "eps", rescale_cfg=False,
+        solver_type="edm_dpm_adaptive", eta=0.0, order=3,
+    )
+    cf = MSEGuidance(scale=0.05, t_start=601, t_stop=-1, space="latent", repeat=1)
+    x_T = jax.random.normal(jax.random.PRNGKey(43), X_SHAPE)
+    target = jnp.zeros(X_SHAPE)
+
+    @jax.jit
+    def jitted(x_T, rng, target):
+        return s.sample(
+            model_fn, x_T, cond, uncond, 1.5, 6, rng,
+            cond_fn=cf, guidance_target=target,
+        )
+
+    out = np.asarray(jitted(x_T, jax.random.PRNGKey(44), target))
+    assert out.shape == X_SHAPE and np.all(np.isfinite(out))
+    # guidance moved the trajectory
+    base = np.asarray(
+        s.sample(model_fn, x_T, cond, uncond, 1.5, 6, jax.random.PRNGKey(44))
+    )
+    assert np.abs(out - base).max() > 1e-6
