@@ -28,6 +28,12 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _exp_bf16() -> bool:
+    # Measured (v5e, scripts/bench_attention_variants.py): bf16-exp is NOT a
+    # win — 0.950 ms vs 0.893 fp32 at (2,4096,5,64), tie at (2,1024,10,64) —
+    # the kernel is not exp-throughput-bound (matches the earlier exp2
+    # experiment). Kept as an env toggle for future re-measurement on other
+    # TPU generations. Same sweep: ours-fp32 0.893 ms vs upstream pallas
+    # flash 4.635 ms and XLA einsum 2.142 ms at 4096 tokens.
     import os
 
     return os.environ.get("DIFFBIR_TPU_FLASH_EXP", "fp32") == "bf16"
