@@ -22,6 +22,7 @@ Module names are chosen so flax param paths mirror the torch checkpoint keys
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -33,6 +34,7 @@ from .layers import (
     Dtype,
     GroupNorm32,
     LayerNormFp32,
+    QuantDense,
     conv,
     dense,
     nearest_upsample_2x,
@@ -45,13 +47,16 @@ class ResBlock(nn.Module):
 
     out_channels: int
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 emb_layers.1 (serving mode, see QuantDense)
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+        d = (functools.partial(QuantDense, dtype=self.dtype) if self.quant
+             else functools.partial(dense, dtype=self.dtype))
         h = GroupNorm32(name="in_layers.0")(x)
         h = nn.silu(h)
         h = conv(self.out_channels, 3, dtype=self.dtype, name="in_layers.2")(h)
-        e = dense(self.out_channels, dtype=self.dtype, name="emb_layers.1")(nn.silu(emb))
+        e = d(self.out_channels, name="emb_layers.1")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(name="out_layers.0")(h)
         h = nn.silu(h)
@@ -61,6 +66,36 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class _Kernel(nn.Module):
+    """Registers a Dense-compatible kernel param without running the matmul.
+
+    Used by CrossAttention to fuse the q/k/v projections into ONE matmul
+    while keeping the canonical per-projection param tree (path
+    ``attn*/to_q/kernel`` etc. — identical names/shapes/init to
+    ``dense(use_bias=False)``, so torch-key mapping, checkpoints, and
+    sharding rules are untouched). With ``quant`` the scope holds the int8
+    serving layout ``{kernel_q, scale}`` instead (see layers.QuantDense)."""
+
+    features: int
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        if self.quant:
+            kq = self.param(
+                "kernel_q", nn.initializers.zeros_init(), (in_dim, self.features),
+                jnp.int8,
+            )
+            scale = self.param(
+                "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+            )
+            return kq, scale
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features),
+            jnp.float32,
+        )
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when context is None."""
 
@@ -68,30 +103,56 @@ class CrossAttention(nn.Module):
     dim_head: int
     query_dim: int
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 projections (serving mode)
+
+    def _fused_proj(self, x: jax.Array, names: Sequence[str]) -> jax.Array:
+        """One matmul over the concatenated projection kernels — reads the
+        activation ONCE (vs once per projection: the HBM-bound step's
+        currency). The kernel concat is loop-invariant, so XLA hoists it
+        out of the denoise scan (verified: concatenate sits in ENTRY, not
+        the while body). Exact for the int8 path too: per-output-channel
+        scales concatenate alongside their columns."""
+        inner = self.heads * self.dim_head
+        ws = [_Kernel(inner, quant=self.quant, name=n)(x.shape[-1]) for n in names]
+        if self.quant:
+            from ..ops.quant_matmul import quant_matmul
+
+            wq = jnp.concatenate([w for w, _ in ws], axis=1)
+            sc = jnp.concatenate([s for _, s in ws], axis=0)
+            return quant_matmul(x.astype(self.dtype), wq, sc)
+        w = jnp.concatenate(ws, axis=1).astype(self.dtype)
+        return x.astype(self.dtype) @ w
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         inner = self.heads * self.dim_head
-        ctx = x if context is None else context
-        q = dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if context is None:
+            qkv = self._fused_proj(x, ("to_q", "to_k", "to_v"))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            # cross-attention: q reads x; k/v share one read of the context
+            q = self._fused_proj(x, ("to_q",))
+            kv = self._fused_proj(context, ("to_k", "to_v"))
+            k, v = jnp.split(kv, 2, axis=-1)
         b, sq, _ = q.shape
         skv = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, skv, self.heads, self.dim_head)
         v = v.reshape(b, skv, self.heads, self.dim_head)
         out = attention(q, k, v).reshape(b, sq, inner)
-        return dense(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
+        d = QuantDense if self.quant else dense
+        return d(self.query_dim, dtype=self.dtype, name="to_out.0")(out)
 
 
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        d = QuantDense if self.quant else dense
+        h = d(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate, approximate=False)
 
@@ -100,11 +161,13 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net.0")(x)
-        return dense(self.dim, dtype=self.dtype, name="net.2")(h)
+        h = GEGLU(self.dim * self.mult, dtype=self.dtype, quant=self.quant, name="net.0")(x)
+        d = QuantDense if self.quant else dense
+        return d(self.dim, dtype=self.dtype, name="net.2")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -113,14 +176,19 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     dtype: Dtype = jnp.float32
     disable_self_attn: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
-        a1 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn1")
+        a1 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
+                            quant=self.quant, name="attn1")
         x = x + a1(LayerNormFp32(name="norm1")(x), context if self.disable_self_attn else None)
-        a2 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype, name="attn2")
+        a2 = CrossAttention(self.heads, self.dim_head, self.dim, dtype=self.dtype,
+                            quant=self.quant, name="attn2")
         x = x + a2(LayerNormFp32(name="norm2")(x), context)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(LayerNormFp32(name="norm3")(x))
+        x = x + FeedForward(self.dim, dtype=self.dtype, quant=self.quant, name="ff")(
+            LayerNormFp32(name="norm3")(x)
+        )
         return x
 
 
@@ -131,6 +199,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     use_linear: bool = True
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array]) -> jax.Array:
@@ -142,14 +211,18 @@ class SpatialTransformer(nn.Module):
             x = conv(inner, 1, padding=0, dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, x.shape[-1])
         if self.use_linear:
-            x = dense(inner, dtype=self.dtype, name="proj_in")(x)
+            dd = QuantDense if self.quant else dense
+            x = dd(inner, dtype=self.dtype, name="proj_in")(x)
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, dtype=self.dtype,
-                name=f"transformer_blocks.{d}",
+                quant=self.quant, name=f"transformer_blocks.{d}",
             )(x, context)
         if self.use_linear:
-            x = dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
+            if self.quant:
+                x = QuantDense(c, dtype=self.dtype, name="proj_out")(x)
+            else:
+                x = dense(c, zero_init=True, dtype=self.dtype, name="proj_out")(x)
             x = x.reshape(b, h, w, c)
         else:
             x = x.reshape(b, h, w, inner)
@@ -198,6 +271,7 @@ class UNetModel(nn.Module):
     context_dim: int = 1024
     use_linear_in_transformer: bool = True
     use_checkpoint: bool = False
+    quant_dense: bool = False  # int8 dense sites (inference serving mode)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -218,6 +292,8 @@ class UNetModel(nn.Module):
         ted = mc * 4
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
+        Res = functools.partial(Res, quant=self.quant_dense)
+        ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)
         emb = dense(ted, dtype=self.dtype, name="time_embed.0")(t_emb)
@@ -323,6 +399,7 @@ class ControlNet(nn.Module):
     context_dim: int = 1024
     use_linear_in_transformer: bool = True
     use_checkpoint: bool = False
+    quant_dense: bool = False  # int8 dense sites (inference serving mode)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -337,6 +414,8 @@ class ControlNet(nn.Module):
         ted = mc * 4
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
+        Res = functools.partial(Res, quant=self.quant_dense)
+        ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)
         emb = dense(ted, dtype=self.dtype, name="time_embed.0")(t_emb)
