@@ -59,11 +59,15 @@ class InferenceLoop:
         dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.bfloat16}[
             getattr(self.args, "precision", "bf16")
         ]
-        self.cldm = ControlLDM.sd21(dtype=dtype)
-        shapes = self.cldm.eval_shapes((64, 64))
+        quant = bool(getattr(self.args, "quant_dense", False))
+        self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant)
+        # checkpoints always load through the float layout; the int8 serving
+        # transform (quantize_dense_params) runs after surgery + casting
+        load_cldm = ControlLDM.sd21(dtype=dtype) if quant else self.cldm
+        shapes = load_cldm.eval_shapes((64, 64))
         sd_key = "sd_v2.1_zsnr" if self.args.version == "v2.1" else "sd_v2.1"
         sd = load_torch_state_dict(resolve_model(sd_key))
-        params = self.cldm.load_pretrained_sd(shapes, sd)
+        params = load_cldm.load_pretrained_sd(shapes, sd)
         if self.args.version == "v1":
             cn_key = {"face": "v1_face", "sr": "v1_general", "denoise": "v1_general"}.get(
                 self.args.task
@@ -75,7 +79,7 @@ class InferenceLoop:
         else:
             cn_key = "v2.1"
         cn_sd = load_torch_state_dict(resolve_model(cn_key))
-        params = self.cldm.load_controlnet_from_ckpt(params, cn_sd)
+        params = load_cldm.load_controlnet_from_ckpt(params, cn_sd)
         # cast to compute dtype (bf16 in production) and ship to device
         if dtype == jnp.bfloat16:
             params = jax.tree_util.tree_map(
@@ -86,6 +90,10 @@ class InferenceLoop:
             )
         else:
             params = jax.tree_util.tree_map(jnp.asarray, params)
+        if quant:
+            from ..models.cldm import quantize_dense_params
+
+            params = quantize_dense_params(params)
         self.params = params
         self.schedule = make_schedule_for_version(self.args.version)
 

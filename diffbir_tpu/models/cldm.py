@@ -38,21 +38,28 @@ class ControlLDM:
 
     # ------------------------------------------------------------------ #
     @classmethod
-    def sd21(cls, dtype=jnp.bfloat16, use_checkpoint: bool = False) -> "ControlLDM":
-        """Standard SD2.1-base + IRControlNet sizes (configs/inference/cldm.yaml)."""
+    def sd21(cls, dtype=jnp.bfloat16, use_checkpoint: bool = False,
+             quant_dense: bool = False) -> "ControlLDM":
+        """Standard SD2.1-base + IRControlNet sizes (configs/inference/cldm.yaml).
+
+        ``quant_dense``: int8 weight-only serving mode for the UNet/ControlNet
+        dense sites — pair with ``quantize_dense_params`` on a float tree."""
         return cls(
-            unet=UNetModel(dtype=dtype, use_checkpoint=use_checkpoint),
+            unet=UNetModel(dtype=dtype, use_checkpoint=use_checkpoint,
+                           quant_dense=quant_dense),
             vae=AutoencoderKL(dtype=dtype),
             clip=CLIPTextEncoder(dtype=dtype),
-            controlnet=ControlNet(dtype=dtype, use_checkpoint=use_checkpoint),
+            controlnet=ControlNet(dtype=dtype, use_checkpoint=use_checkpoint,
+                                  quant_dense=quant_dense),
         )
 
     @classmethod
-    def tiny(cls, dtype=jnp.float32) -> "ControlLDM":
+    def tiny(cls, dtype=jnp.float32, quant_dense: bool = False) -> "ControlLDM":
         """Small CPU-runnable config for tests (still a true f8 VAE)."""
         kw = dict(
             model_channels=32, num_head_channels=16, channel_mult=(1, 2),
             attention_resolutions=(2, 1), context_dim=64, dtype=dtype,
+            quant_dense=quant_dense,
         )
         return cls(
             unet=UNetModel(**kw),
@@ -420,3 +427,52 @@ class ControlLDM:
             jax.tree_util.tree_structure(params["controlnet"]), new
         )
         return {**params, "controlnet": cn}
+
+
+# --------------------------------------------------------------------------- #
+# int8 weight-only serving mode (pairs with sd21(quant_dense=True))
+# --------------------------------------------------------------------------- #
+_QUANT_DENSE_TAILS = (
+    "to_q", "to_k", "to_v", "to_out.0",   # attention projections
+    "proj", "net.2",                       # GEGLU / FFN
+    "proj_in", "proj_out",                 # SpatialTransformer (linear mode)
+    "emb_layers.1",                        # ResBlock temb projection
+)
+
+
+def quantize_dense_params(params: Params) -> Params:
+    """Float ControlLDM params -> the int8 serving layout.
+
+    Replaces each targeted 2-D ``kernel`` in the unet/controlnet subtrees
+    with ``{kernel_q: int8, scale: f32[out]}`` (symmetric per-output-channel;
+    ops/quant_matmul.quantize_weight). Biases/norms/convs stay float. The
+    result matches the param tree of ``ControlLDM.sd21(quant_dense=True)``.
+    VAE/CLIP are untouched (outside the denoise scan, negligible traffic).
+    """
+    from ..ops.quant_matmul import quantize_weight
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, val in node.items():
+            if (
+                isinstance(val, dict)
+                and key in _QUANT_DENSE_TAILS
+                and "kernel" in val
+                and getattr(val["kernel"], "ndim", 0) == 2
+            ):
+                q, scale = quantize_weight(val["kernel"])
+                slot = {"kernel_q": q, "scale": scale}
+                if "bias" in val:
+                    slot["bias"] = val["bias"]
+                out[key] = slot
+            else:
+                out[key] = walk(val, path + (key,))
+        return out
+
+    return {
+        **params,
+        "unet": walk(dict(params["unet"]), ("unet",)),
+        "controlnet": walk(dict(params["controlnet"]), ("controlnet",)),
+    }

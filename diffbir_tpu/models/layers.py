@@ -161,6 +161,41 @@ def dense(
     )
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 Dense for the inference serving mode.
+
+    Param tree at this scope is ``{kernel_q: int8 [in, out], scale: f32
+    [out]}`` (+ ``bias`` f32 [out]) — produced from a float checkpoint by
+    ``models.cldm.quantize_dense_params`` (symmetric per-output-channel,
+    exact scale-after-dot). Never trained. Compute goes through
+    ``ops.quant_matmul`` (Pallas dequant-in-VMEM kernel on TPU for aligned
+    shapes, XLA dequant-into-dot elsewhere). Halves the HBM weight traffic
+    of the denoise step's dense sites vs bf16 — the step is HBM-bound
+    (CLAUDE.md cost analysis), so weight bytes are latency."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.quant_matmul import quant_matmul
+
+        in_dim = x.shape[-1]
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros_init(), (in_dim, self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,), jnp.float32
+        )
+        y = quant_matmul(x.astype(self.dtype), kq, scale)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x spatial upsample, NHWC."""
     b, h, w, c = x.shape

@@ -43,12 +43,12 @@ def _xla_quant_matmul(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Arr
 
 
 def _kernel(x_ref, wq_ref, scale_ref, out_ref, acc_ref):
-    """Grid (n_tiles, k_tiles); K is the minor (sequential) axis so the fp32
-    accumulator carries across K steps of one N tile."""
+    """Grid (m_tiles, n_tiles, k_tiles); K is the minor (sequential) axis so
+    the fp32 accumulator carries across K steps of one (M, N) tile."""
     from jax.experimental import pallas as pl
 
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -70,10 +70,13 @@ def _kernel(x_ref, wq_ref, scale_ref, out_ref, acc_ref):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
 def _pallas_quant_matmul(
     x: jax.Array, w_q: jax.Array, scale: jax.Array,
-    block_n: int = 512, block_k: int = 1024, interpret: bool = False,
+    block_m: int = 512, block_n: int = 512, block_k: int = 1024,
+    interpret: bool = False,
 ) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -81,28 +84,33 @@ def _pallas_quant_matmul(
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scale.shape == (n,)
-    # pad M to the bf16 sublane tile (16): the kernel's dot runs bf16xbf16
-    # and Mosaic rejects sub-tile bf16 operands ("Bad lhs type" at m_pad=8)
-    m_pad = (-m) % 16
+    # M is tiled (UNet prefill rows can be 8k+, too big for one VMEM tile).
+    # Pad M to the bf16 sublane tile (16): the kernel's dot runs bf16xbf16
+    # and Mosaic rejects sub-tile bf16 operands ("Bad lhs type" at m_pad=8);
+    # for multi-tile M pad to the block size.
+    bm = min(block_m, m + (-m) % 16)
+    m_pad = (-m) % bm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    bm = x.shape[0]
+    mp = x.shape[0]
     bn = min(block_n, n)
     bk = min(block_k, k)
     assert n % bn == 0 and k % bk == 0, (
         f"quant_matmul needs N%{bn}==0 and K%{bk}==0 (got N={n}, K={k})"
     )
-    grid = (n // bn, k // bk)
+    grid = (mp // bm, n // bn, k // bk)
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda mi, ni, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda mi, ni, ki: (ki, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda mi, ni, ki: (0, ni), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda mi, ni, ki: (mi, ni), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
     )(x, w_q, scale.reshape(1, n))
@@ -291,16 +299,17 @@ def quant_matmul(
     x2 = x.reshape(-1, x.shape[-1])
     k, n = w_q.shape
     use_pallas = force == "pallas"
+    bn = next((b for b in (512, 256, 128) if n % b == 0), None)
+    bk = next((b for b in (1024, 512, 256, 128) if k % b == 0), None)
     if force is None:
+        # lane-aligned N/K go through the kernel at any M (M is tiled);
+        # 128-unaligned dims (e.g. the UNet's 320/960-channel level) fall
+        # back to XLA dequant-into-dot.
         use_pallas = (
-            jax.default_backend() == "tpu"
-            and n % 256 == 0 and k % 256 == 0
-            and x2.shape[0] <= 1024  # prefill beyond this: XLA path is fine
+            jax.default_backend() == "tpu" and bn is not None and bk is not None
         )
     if use_pallas:
-        bn = 512 if n % 512 == 0 else 256
-        bk = 1024 if k % 1024 == 0 else 256
-        out = _pallas_quant_matmul(x2, w_q, scale, block_n=bn, block_k=bk)
+        out = _pallas_quant_matmul(x2, w_q, scale, block_n=bn or n, block_k=bk or k)
     else:
         out = _xla_quant_matmul(x2, w_q, scale)
     return out.reshape(lead + (n,))

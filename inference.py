@@ -111,6 +111,10 @@ def parse_args() -> Namespace:
                    choices=["auto", "tpu", "cpu"])
     p.add_argument("--precision", type=str, default="bf16",
                    choices=["fp32", "fp16", "bf16"])
+    p.add_argument("--quant_dense", action="store_true",
+                   help="int8 weight-only UNet/ControlNet dense sites "
+                        "(serving mode; ~half the dense weight HBM traffic, "
+                        "quality delta measured in QUANT_QUALITY.json)")
     p.add_argument("--llava_bit", type=str, default="4", choices=["16", "8", "4"])
     return p.parse_args()
 

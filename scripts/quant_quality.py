@@ -1,0 +1,147 @@
+"""int8-dense serving mode accounting: same-seed quant vs bf16 outputs + speed.
+
+``--quant_dense`` halves the HBM weight traffic of the UNet/ControlNet dense
+sites (the denoise step is HBM-bound — CLAUDE.md cost analysis). A serving
+optimization is only meaningful with a quality bound, so this script runs the
+FULL 512x512 pipeline with identical rng / x_T / float weights twice — once
+bf16, once through quantize_dense_params — and reports PSNR/SSIM of the int8
+output against the bf16 output, plus per-image wall time for both. Results ->
+QUANT_QUALITY.json at the repo root.
+
+Weights: random-init full-size SD2.1 (no checkpoints in this environment);
+re-run unchanged when real weights land. Random lecun weights are the
+conservative case for per-channel symmetric int8: trained SD weight
+distributions are heavier-tailed per channel, which per-channel scales
+absorb.
+
+Usage: PYTHONPATH=/root/.axon_site python scripts/quant_quality.py
+       [--steps 50] [--images 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/diffbir_tpu_jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from diffbir_tpu.models.cldm import ControlLDM, quantize_dense_params
+from diffbir_tpu.models.swinir import SwinIR
+from diffbir_tpu.sampler import SpacedSampler
+from diffbir_tpu.schedule import Schedule
+from diffbir_tpu.utils.common import psnr, ssim, wavelet_reconstruction
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+from turbo_quality import make_lq  # noqa: E402  (same synthetic protocol)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--images", type=int, default=2)
+    ap.add_argument("--size", type=int, default=512)
+    args = ap.parse_args()
+
+    schedule = Schedule.create(
+        timesteps=1000, beta_schedule="linear", linear_start=0.00085,
+        linear_end=0.0120, parameterization="v", zero_snr=True,
+    )
+    sampler = SpacedSampler(schedule.betas, "v", rescale_cfg=False)
+    swin = SwinIR.tiny_sr()
+
+    def bf(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
+        )
+
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    qcldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=True)
+    lat = (args.size // 8, args.size // 8)
+    params = bf(jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), lat))
+
+    # de-zero the SD zero_module sites (see turbo_quality.py): at random init
+    # they zero the model output, making any comparison vacuous
+    def dezero(tree, rng):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        keys = jax.random.split(rng, len(leaves))
+        out = []
+        for leaf, k in zip(leaves, keys):
+            if leaf.size and not np.any(np.asarray(leaf)):
+                out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * 0.02)
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    params = dezero(params, jax.random.PRNGKey(42))
+    params_q = quantize_dense_params(params)
+    sp = bf(jax.jit(swin.init)(jax.random.PRNGKey(1), jnp.zeros((1, args.size, args.size, 3))))
+    tokens = jnp.zeros((1, 77), jnp.int32)
+
+    def make_fn(model):
+        def restore(params, sp, lq, pos, neg, rng):
+            cond_img = jnp.clip(swin.apply(sp, lq), 0, 1)
+            cond = model.prepare_condition(params, cond_img, pos)
+            uncond = model.prepare_condition(params, cond_img, neg)
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+            model_fn = lambda x, t, c: model(params, x, t, c)  # noqa: E731
+            z = sampler.sample(model_fn, x_T, cond, uncond, 4.0, args.steps, k2)
+            out = wavelet_reconstruction((model.vae_decode(params, z) + 1) / 2, cond_img)
+            return jnp.clip(out, 0, 1)
+
+        return jax.jit(restore)
+
+    lqs = [jnp.asarray(make_lq(7 + i, args.size)) for i in range(args.images)]
+    results = {}
+    for tag, model, p in [("bf16", cldm, params), ("int8", qcldm, params_q)]:
+        fn = make_fn(model)
+        outs, times = [], []
+        for i, lq in enumerate(lqs):
+            t0 = time.time()
+            o = fn(p, sp, lq, tokens, tokens, jax.random.PRNGKey(100 + i))
+            o = np.asarray(o.astype(jnp.float32))
+            times.append(time.time() - t0)
+            outs.append(o)
+        results[tag] = (outs, times)
+        print(f"{tag}: {args.images} images, per-image times "
+              f"{[f'{t:.2f}' for t in times]}", flush=True)
+
+    base, _ = results["bf16"]
+    outs, _ = results["int8"]
+    probe = float(np.abs(outs[0] - base[0]).max())
+    assert probe > 1e-7, "int8 output bit-identical to bf16 — quant not engaged?"
+    ps = [float(psnr(jnp.asarray(o), jnp.asarray(b))[0]) for o, b in zip(outs, base)]
+    ss = [float(ssim(jnp.asarray(o), jnp.asarray(b))[0]) for o, b in zip(outs, base)]
+    # warm per-image time = the LAST image of each mode (first includes compile)
+    speed = {
+        "bf16_warm_s": round(results["bf16"][1][-1], 3),
+        "int8_warm_s": round(results["int8"][1][-1], 3),
+    }
+    report = {
+        "protocol": {
+            "size": args.size, "steps": args.steps, "sampler": "spaced",
+            "cfg": 4.0, "images": args.images,
+            "weights": "random-init sd21 (refresh with real checkpoints)",
+            "note": "PSNR/SSIM of int8-dense output vs bf16 output, same seed/x_T",
+        },
+        "psnr_vs_bf16_db": round(float(np.mean(ps)), 2),
+        "psnr_min_db": round(float(np.min(ps)), 2),
+        "ssim_vs_bf16": round(float(np.mean(ss)), 4),
+        **speed,
+    }
+    print(json.dumps(report))
+    with open(os.path.join(REPO, "QUANT_QUALITY.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print("wrote QUANT_QUALITY.json")
+
+
+if __name__ == "__main__":
+    main()

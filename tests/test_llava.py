@@ -63,6 +63,23 @@ def test_quant_matmul_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_quant_matmul_pallas_interpret_mtiled():
+    """M-tiled grid (UNet prefill rows): 3 M-tiles incl. a padded tail x
+    2 N x 2 K — exercises the (mi, ni, ki) index maps + tail masking."""
+    from diffbir_tpu.ops.quant_matmul import _pallas_quant_matmul
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((512, 512)).astype(np.float32) * 0.02)
+    x = jnp.asarray(rng.standard_normal((300, 512)).astype(np.float32))
+    w_q, s = quantize_weight(w)
+    a = _pallas_quant_matmul(
+        x, w_q, s, block_m=128, block_n=256, block_k=256, interpret=True
+    )
+    b = quant_matmul(x, w_q, s, force="xla")
+    assert a.shape == (300, 512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
 def test_quant_matmul_pallas_matches_xla():
     rng = np.random.default_rng(3)
