@@ -65,8 +65,13 @@ def supported(q, k, v, mask=None, bias=None) -> bool:
     return sq % bq == 0 and sq >= 128 and skv >= 16
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
-            kv_len, masked, exp_bf16=False):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *rest, sm_scale, kv_len, masked,
+            exp_bf16=False, with_lse=False):
+    if with_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        lse_ref = None
+        m_ref, l_ref, acc_ref = rest
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -128,35 +133,232 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, sm_scale,
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (acc_ref[:] * l_inv).astype(o_ref.dtype)
+        if with_lse:
+            # logsumexp per q row, lane-replicated (layout matches m/l
+            # scratch — no cross-lane transpose on the store path)
+            lse_ref[0] = m_ref[:] + jnp.log(jnp.where(l == 0.0, 1.0, l))
 
 
 @jax.custom_vjp
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]. Forward = Pallas kernel;
-    backward differentiates the XLA reference formulation (recompute)."""
+    backward = Pallas dq + dkv kernels over saved (q,k,v,o,lse) — no S^2
+    score matrix ever hits HBM in either direction (the previous backward
+    differentiated the XLA formulation, materializing fp32 [Sq,Skv] tensors;
+    at 4096 tokens that is 671 MB/layer of round-trips in the train step).
+    DIFFBIR_TPU_FLASH_BWD=xla restores the old recompute path."""
     return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16())
 
 
+def _bwd_xla() -> bool:
+    import os
+
+    return os.environ.get("DIFFBIR_TPU_FLASH_BWD", "pallas") == "xla"
+
+
 def _flash_fwd(q, k, v):
-    return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16()), (q, k, v)
+    if _bwd_xla():
+        return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16()), (
+            q, k, v, None, None)
+    o, lse = _flash_attention_impl(
+        q, k, v, exp_bf16=_exp_bf16(), return_lse=True
+    )
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(res, g):
-    from .attention import xla_attention
+    q, k, v, o, lse = res
+    if o is None:  # xla fallback (recompute)
+        from .attention import xla_attention
 
-    q, k, v = res
-    _, vjp = jax.vjp(xla_attention, q, k, v)
-    return vjp(g)
+        _, vjp = jax.vjp(xla_attention, q, k, v)
+        return vjp(g)
+    return _flash_attention_bwd_impl(q, k, v, o, lse, g)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exp_bf16"))
+# --------------------------------------------------------------------------- #
+# backward kernels
+#
+# Residuals: q,k,v,o (input dtype) + lane-replicated lse (fp32). Per-row
+# delta D = rowsum(dO * O) is recomputed in-kernel from o/do tiles (cheap
+# elementwise, saves a separate pass + plumbing). Two kernels because the
+# natural accumulation axes differ: dq accumulates over kv blocks, dk/dv
+# over q blocks — each gets the matching sequential grid axis.
+# --------------------------------------------------------------------------- #
+def _bwd_block_sizes(sq: int, skv: int):
+    # backward holds ~4 (BQ, BK) fp32 temporaries (s, p, dp, ds) at once;
+    # (1024, 1024) keeps them at 4 MB each inside the 16 MB VMEM budget
+    import os
+
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BQ", 1024))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BK", 1024))
+    return min(bq, sq), min(bk, skv)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dq_ref, acc_ref,
+               *, sm_scale, kv_len, masked):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    o, do = o_ref[0], do_ref[0]
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * sm_scale
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * k.shape[0]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # (BQ, BK) fp32; 0 in masked cols
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (BQ, BK)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (BQ, 1)
+    ds = p * (dp - delta) * sm_scale  # (BQ, BK) fp32
+    acc_ref[:] += jax.lax.dot(
+        ds.astype(q.dtype), k, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, sm_scale, kv_len, masked):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    o, do = o_ref[0], do_ref[0]
+    prec = (jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * sm_scale  # (BQ, BK)
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = col + pl.program_id(1) * k.shape[0]
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    ds = p * (dp - delta) * sm_scale
+    # contract over the q-row axis (dim 0 of both operands)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (BK, D)
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (BK, D)
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sm_scale = d ** -0.5
+    bq, bk = _bwd_block_sizes(sq, skv)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
+
+    qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
+    pad = (-skv) % bk
+    if pad:
+        kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
+    nq, nk = sq // bq, (skv + pad) // bk
+    masked = pad != 0
+
+    common = dict(sm_scale=sm_scale, kv_len=skv, masked=masked)
+    in_q = pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0))
+    in_lse = pl.BlockSpec((1, bq, 128), lambda bh, i, j: (bh, i, 0))
+    in_kv_dq = pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, j, 0))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        grid=(b * h, nq, nk),
+        in_specs=[in_q, in_kv_dq, in_kv_dq, in_q, in_lse, in_q],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, of, lse, gf)
+
+    in_q_seq = pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, j, 0))
+    in_lse_seq = pl.BlockSpec((1, bq, 128), lambda bh, i, j: (bh, j, 0))
+    in_kv = pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, skv + pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, skv + pad, d), v.dtype),
+        ],
+        grid=(b * h, nk, nq),
+        in_specs=[in_q_seq, in_kv, in_kv, in_q_seq, in_lse_seq, in_q_seq],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, of, lse, gf)
+    if pad:
+        dk, dv = dk[:, :skv], dv[:, :skv]
+
+    def unfold(x, s):
+        return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    return unfold(dq, sq), unfold(dk, skv), unfold(dv, skv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exp_bf16", "return_lse")
+)
 def _flash_attention_impl(
     q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False,
-    exp_bf16: bool = False,
-) -> jax.Array:
+    exp_bf16: bool = False, return_lse: bool = False,
+):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     sm_scale = d ** -0.5
@@ -174,17 +376,29 @@ def _flash_attention_impl(
         vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
     nq, nk = sq // bq, (skv + pad) // bk
 
+    out_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
+    out_spec = pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0))
+    if return_lse:
+        # lane-replicated lse (BH, Sq, 128): matches the (bq, 128) scratch
+        # layout so the store is a copy, not a transpose; the bwd kernels
+        # consume column 0 via [:, :1].
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32)]
+        out_spec = [out_spec,
+                    pl.BlockSpec((1, bq, 128), lambda bh, qi, ki: (bh, qi, 0))]
+
     out = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale, kv_len=skv,
-                          masked=pad != 0, exp_bf16=exp_bf16),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+                          masked=pad != 0, exp_bf16=exp_bf16,
+                          with_lse=return_lse),
+        out_shape=out_shape,
         grid=(b * h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, bk, d), lambda bh, qi, ki: (bh, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0)),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
             pltpu.VMEM((bq, 128), jnp.float32),  # running sum
@@ -195,4 +409,7 @@ def _flash_attention_impl(
         ),
         interpret=interpret,
     )(qf, kf, vf)
+    if return_lse:
+        o, lse = out
+        return o.reshape(b, h, sq, d).transpose(0, 2, 1, 3), lse
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

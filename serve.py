@@ -203,6 +203,8 @@ def main():
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--quant_dense", action="store_true",
+                    help="int8 weight-only UNet/ControlNet dense sites")
     ap.add_argument("--tasks", default="sr", help="comma list: sr,face")
     args = ap.parse_args()
 
@@ -215,7 +217,8 @@ def main():
 
     loop_args = SimpleNamespace(
         task="sr", version="v2.1", upscale=args.upscale,
-        precision=args.precision, captioner="none", guidance=False,
+        precision=args.precision, quant_dense=args.quant_dense,
+        captioner="none", guidance=False,
         input=".", output=".", n_samples=1, seed=231, steps=args.steps,
         pos_prompt="", neg_prompt="low quality, blurry, low-resolution, "
         "noisy, unsharp, weird textures", cfg_scale=6.0, strength=1.0,

@@ -53,3 +53,39 @@ def test_supported_gate():
     assert not supported(q, q, q, mask=jnp.ones((1, 1, 1, 1), bool))
     q_small = jnp.zeros((1, 64, 5, 64))
     assert not supported(q_small, q_small, q_small)  # sq < 128
+
+
+@pytest.mark.parametrize("sq,skv", [(256, 256), (256, 77)])
+def test_flash_bwd_kernels_match_xla_grads(sq, skv):
+    """Pallas dq/dkv kernels (interpret mode) vs jax.vjp of the XLA
+    formulation — incl. the padded-kv mask path (skv=77 -> pad 128)."""
+    from diffbir_tpu.ops.flash_attention import (
+        _flash_attention_bwd_impl,
+        _flash_attention_impl,
+    )
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, sq, 2, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, skv, 2, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, skv, 2, 64), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, sq, 2, 64), jnp.float32)
+
+    o, lse = _flash_attention_impl(q, kk, v, interpret=True, return_lse=True)
+    dq, dk, dv = _flash_attention_bwd_impl(q, kk, v, o, lse, g, interpret=True)
+
+    _, vjp = jax.vjp(xla_attention, q, kk, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=5e-4, rtol=1e-3)
+
+
+def test_flash_lse_output():
+    """The lse side-output equals log(sum(exp(qk^T * scale))) per row."""
+    from diffbir_tpu.ops.flash_attention import _flash_attention_impl
+
+    q = jax.random.normal(jax.random.PRNGKey(4), (1, 128, 1, 64), jnp.float32)
+    o, lse = _flash_attention_impl(q, q, q, interpret=True, return_lse=True)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, q) * (64 ** -0.5)
+    ref = jax.nn.logsumexp(s, axis=-1)[0, 0]  # (sq,)
+    np.testing.assert_allclose(np.asarray(lse[0, :, 0]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
