@@ -60,7 +60,9 @@ class InferenceLoop:
             getattr(self.args, "precision", "bf16")
         ]
         quant = bool(getattr(self.args, "quant_dense", False))
-        self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant)
+        fused = bool(getattr(self.args, "fused_resblock", False))
+        self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant,
+                                    fused_resblock=fused)
         # checkpoints always load through the float layout; the int8 serving
         # transform (quantize_dense_params) runs after surgery + casting
         load_cldm = ControlLDM.sd21(dtype=dtype) if quant else self.cldm

@@ -39,27 +39,33 @@ class ControlLDM:
     # ------------------------------------------------------------------ #
     @classmethod
     def sd21(cls, dtype=jnp.bfloat16, use_checkpoint: bool = False,
-             quant_dense: bool = False) -> "ControlLDM":
+             quant_dense: bool = False,
+             fused_resblock: bool = False) -> "ControlLDM":
         """Standard SD2.1-base + IRControlNet sizes (configs/inference/cldm.yaml).
 
         ``quant_dense``: int8 weight-only serving mode for the UNet/ControlNet
-        dense sites — pair with ``quantize_dense_params`` on a float tree."""
+        dense sites — pair with ``quantize_dense_params`` on a float tree.
+        ``fused_resblock``: Pallas fused-ResBlock serving mode (same param
+        tree; inference-only, see ops/fused_resblock.py)."""
         return cls(
             unet=UNetModel(dtype=dtype, use_checkpoint=use_checkpoint,
-                           quant_dense=quant_dense),
+                           quant_dense=quant_dense,
+                           fused_resblock=fused_resblock),
             vae=AutoencoderKL(dtype=dtype),
             clip=CLIPTextEncoder(dtype=dtype),
             controlnet=ControlNet(dtype=dtype, use_checkpoint=use_checkpoint,
-                                  quant_dense=quant_dense),
+                                  quant_dense=quant_dense,
+                                  fused_resblock=fused_resblock),
         )
 
     @classmethod
-    def tiny(cls, dtype=jnp.float32, quant_dense: bool = False) -> "ControlLDM":
+    def tiny(cls, dtype=jnp.float32, quant_dense: bool = False,
+             fused_resblock: bool = False) -> "ControlLDM":
         """Small CPU-runnable config for tests (still a true f8 VAE)."""
         kw = dict(
             model_channels=32, num_head_channels=16, channel_mult=(1, 2),
             attention_resolutions=(2, 1), context_dim=64, dtype=dtype,
-            quant_dense=quant_dense,
+            quant_dense=quant_dense, fused_resblock=fused_resblock,
         )
         return cls(
             unet=UNetModel(**kw),

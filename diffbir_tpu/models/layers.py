@@ -37,6 +37,29 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> j
     return emb
 
 
+def gn_fold_moments(
+    s1: jax.Array, v_c: jax.Array, scale: jax.Array, bias: jax.Array,
+    num_groups: int, eps: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-channel fp32 moments -> per-channel GN affine (a, b): y = x*a + b.
+
+    ``s1``/``v_c`` are per-channel mean / two-pass variance of shape [.., C].
+    Folds them to per-group via the parallel-variance identity
+    ``var_g = mean_c(var_c + (mu_c - mu_g)^2)`` on tiny [.., C] stats
+    (shared by GroupNorm32 and the Pallas fused-ResBlock kernel)."""
+    c = s1.shape[-1]
+    g = num_groups
+    cg = c // g
+    m_g = jnp.mean(s1.reshape(s1.shape[:-1] + (g, cg)), axis=-1)
+    dm = s1.reshape(s1.shape[:-1] + (g, cg)) - m_g[..., None]
+    var_g = jnp.mean(v_c.reshape(v_c.shape[:-1] + (g, cg)) + dm * dm, axis=-1)
+    mean = jnp.repeat(m_g, cg, axis=-1)  # [.., C]
+    inv = jnp.repeat(jax.lax.rsqrt(var_g + eps), cg, axis=-1)
+    a = inv * scale
+    b = bias - mean * a
+    return a, b
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm computed in fp32 regardless of input dtype.
 
@@ -56,7 +79,6 @@ class GroupNorm32(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = x.shape[-1]
         g = self.num_groups
-        cg = c // g
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -73,20 +95,11 @@ class GroupNorm32(nn.Module):
         axes = tuple(range(start, xf.ndim - 1))
         s1 = jnp.mean(xf, axis=axes)  # [B?, C]
         # Two-pass per-channel variance (E[(x-mu_c)^2], not E[x^2]-E[x]^2 —
-        # the one-pass form cancels catastrophically when mean^2 >> var),
-        # then the parallel-variance fold to per-group:
-        #   var_g = mean_c(var_c + (mu_c - mu_g)^2)
-        # The correction runs on tiny [.., C] fp32 stats, so it stays stable.
+        # the one-pass form cancels catastrophically when mean^2 >> var).
         bshape = s1.shape[:1 if not self.cross_batch else 0] + (1,) * len(axes) + (c,)
         d = xf - s1.reshape(bshape)
         v_c = jnp.mean(d * d, axis=axes)  # [B?, C]
-        m_g = jnp.mean(s1.reshape(s1.shape[:-1] + (g, cg)), axis=-1)
-        dm = s1.reshape(s1.shape[:-1] + (g, cg)) - m_g[..., None]
-        var_g = jnp.mean(v_c.reshape(v_c.shape[:-1] + (g, cg)) + dm * dm, axis=-1)
-        mean = jnp.repeat(m_g, cg, axis=-1)  # [B?, C]
-        inv = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), cg, axis=-1)
-        a = inv * scale
-        b = bias - mean * a
+        a, b = gn_fold_moments(s1, v_c, scale, bias, g, self.eps)
         if not self.cross_batch:  # broadcast [B, C] over the spatial dims
             bshape = (x.shape[0],) + (1,) * (xf.ndim - 2) + (c,)
             a = a.reshape(bshape)

@@ -42,27 +42,78 @@ from .layers import (
 )
 
 
+class _GNParams(nn.Module):
+    """Registers GroupNorm32-compatible params without running the norm
+    (fused-ResBlock serving path; names/shapes/init identical)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.ch,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.ch,), jnp.float32),
+        )
+
+
+class _ConvParams(nn.Module):
+    """Registers conv()-compatible kernel/bias params without the conv."""
+
+    shape: Tuple[int, ...]  # (kh, kw, cin, cout)
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros_init() if self.zero_init
+                else nn.initializers.lecun_normal())
+        return (
+            self.param("kernel", init, self.shape, jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                       jnp.float32),
+        )
+
+
 class ResBlock(nn.Module):
     """GN32 -> SiLU -> conv3x3 -> +temb -> GN32 -> SiLU -> zero-conv3x3, skip."""
 
     out_channels: int
     dtype: Dtype = jnp.float32
     quant: bool = False  # int8 emb_layers.1 (serving mode, see QuantDense)
+    fused: bool = False  # Pallas fused-block serving mode (ops/fused_resblock)
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
         d = (functools.partial(QuantDense, dtype=self.dtype) if self.quant
              else functools.partial(dense, dtype=self.dtype))
+        co = self.out_channels
+        if self.fused:
+            # Same param tree as the unfused branch (names/shapes/init match
+            # the submodules), executed by one Pallas kernel per image.
+            from ..ops.fused_resblock import fused_resblock
+
+            g1s, g1b = _GNParams(x.shape[-1], name="in_layers.0")()
+            w1, b1 = _ConvParams((3, 3, x.shape[-1], co), name="in_layers.2")()
+            e = d(co, name="emb_layers.1")(nn.silu(emb))
+            g2s, g2b = _GNParams(co, name="out_layers.0")()
+            w2, b2 = _ConvParams((3, 3, co, co), zero_init=True,
+                                 name="out_layers.3")()
+            p = dict(gn1_scale=g1s, gn1_bias=g1b, w1=w1, b1=b1,
+                     gn2_scale=g2s, gn2_bias=g2b, w2=w2, b2=b2)
+            if x.shape[-1] != co:
+                ws, bs = _ConvParams((1, 1, x.shape[-1], co),
+                                     name="skip_connection")()
+                p["w_skip"], p["b_skip"] = ws, bs
+            return fused_resblock(x.astype(self.dtype), e, p)
         h = GroupNorm32(name="in_layers.0")(x)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, dtype=self.dtype, name="in_layers.2")(h)
-        e = d(self.out_channels, name="emb_layers.1")(nn.silu(emb))
+        h = conv(co, 3, dtype=self.dtype, name="in_layers.2")(h)
+        e = d(co, name="emb_layers.1")(nn.silu(emb))
         h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(name="out_layers.0")(h)
         h = nn.silu(h)
-        h = conv(self.out_channels, 3, zero_init=True, dtype=self.dtype, name="out_layers.3")(h)
-        if x.shape[-1] != self.out_channels:
-            x = conv(self.out_channels, 1, padding=0, dtype=self.dtype, name="skip_connection")(x)
+        h = conv(co, 3, zero_init=True, dtype=self.dtype, name="out_layers.3")(h)
+        if x.shape[-1] != co:
+            x = conv(co, 1, padding=0, dtype=self.dtype, name="skip_connection")(x)
         return x + h
 
 
@@ -272,6 +323,7 @@ class UNetModel(nn.Module):
     use_linear_in_transformer: bool = True
     use_checkpoint: bool = False
     quant_dense: bool = False  # int8 dense sites (inference serving mode)
+    fused_resblock: bool = False  # Pallas fused ResBlock (inference serving)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -292,7 +344,8 @@ class UNetModel(nn.Module):
         ted = mc * 4
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
-        Res = functools.partial(Res, quant=self.quant_dense)
+        Res = functools.partial(Res, quant=self.quant_dense,
+                                fused=self.fused_resblock)
         ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)
@@ -400,6 +453,7 @@ class ControlNet(nn.Module):
     use_linear_in_transformer: bool = True
     use_checkpoint: bool = False
     quant_dense: bool = False  # int8 dense sites (inference serving mode)
+    fused_resblock: bool = False  # Pallas fused ResBlock (inference serving)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -414,7 +468,8 @@ class ControlNet(nn.Module):
         ted = mc * 4
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
-        Res = functools.partial(Res, quant=self.quant_dense)
+        Res = functools.partial(Res, quant=self.quant_dense,
+                                fused=self.fused_resblock)
         ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)

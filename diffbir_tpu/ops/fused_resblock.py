@@ -1,0 +1,287 @@
+"""Pallas fused ResBlock: the whole GN->SiLU->conv3x3->+emb->GN->SiLU->conv3x3
+(+skip) block in one kernel, activations never leaving VMEM.
+
+Why: the denoise step is HBM-bound (XLA cost analysis: ~29.7 GB accessed vs
+2.12 TFLOP per step, CLAUDE.md), and the ResBlock is its worst offender — the
+XLA path materializes the activation ~6x per block (GN stats read, normalized
+write+read into conv1, conv1 out, GN2 stats read, normalized write+read into
+conv2) because conv operands cannot fuse with their producers. This kernel
+reads x once and writes the residual sum once; conv weights stream beside it.
+Reference behavior being fused: ResBlock
+(/root/reference/diffbir/model/unet.py:111-223) under the GroupNorm32 fp32
+policy (/root/reference/diffbir/model/util.py:191-193).
+
+Layout trick (no 3D reshapes inside the kernel): every activation lives as a
+2D (H*Wp, C) array where Wp = W + 2 and the last two columns of each row
+stripe are zeros ("garbage columns"). In this flattened-padded layout, a
+3x3 conv is 9 row-shifted matmuls: out[t] += y[t + ky*Wp + kx] @ w[ky,kx]
+with the zero columns acting as the left/right halo of the NEXT/PREVIOUS
+row stripe (a shift by Wp+1 rows turns the compact stripe layout into the
+centered padded layout). Grid is (batch,); one program owns one image.
+
+Inference-only (no custom VJP); training keeps the XLA path. Dispatch falls
+back to XLA (same math, one jitted graph) off-TPU or when the block's VMEM
+footprint (big concat-skip channels) exceeds the budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F32 = jnp.float32
+
+
+def _prec(dtype):
+    # Same policy as ops/flash_attention.py: bf16 -> DEFAULT single-pass MXU
+    # (a global jax_default_matmul_precision=float32 would otherwise make
+    # Mosaic emulate 3-pass); fp32 -> HIGHEST (what parity tests compare).
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
+def _group_affine(s1, v_c, scale, bias, groups: int, eps: float):
+    """Per-channel fp32 moments (1, C) -> per-channel GN affine (1, C) rows.
+
+    Same parallel-variance fold as models.layers.gn_fold_moments, but
+    expressed as two tiny one-hot matmuls (C x g) so it lowers cleanly in
+    Mosaic (no minor-dim reshapes of width C/g)."""
+    c = s1.shape[-1]
+    cg = c // groups
+    cid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    gid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (cid == gid).astype(_F32)  # (C, g) group membership
+    mt = m.T  # (g, C)
+    hi = jax.lax.Precision.HIGHEST
+    m_g = jnp.dot(s1, m, precision=hi) / cg          # (1, g)
+    mean = jnp.dot(m_g, mt, precision=hi)            # (1, C) per-group mean
+    dm = s1 - mean
+    var_g = jnp.dot(v_c + dm * dm, m, precision=hi) / cg
+    var = jnp.dot(var_g, mt, precision=hi)
+    a = jax.lax.rsqrt(var + eps) * scale
+    b = bias - mean * a
+    return a, b
+
+
+def _conv3x3(src, w_ref, h: int, wp: int, prec):
+    """src: (>= h*wp + 2*wp + 2, C) flattened-padded rows; w_ref: (9, C, Co).
+
+    Returns fp32 (h*wp, Co): out[t] = sum_taps src[t + ky*wp + kx] @ w[tap],
+    i.e. a cross-correlation (torch/flax conv convention)."""
+    n = h * wp
+    acc = None
+    for ky in range(3):
+        for kx in range(3):
+            off = ky * wp + kx
+            part = jnp.dot(
+                src[off:off + n], w_ref[ky * 3 + kx],
+                preferred_element_type=_F32, precision=prec,
+            )
+            acc = part if acc is None else acc + part
+    return acc
+
+
+def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
+            g2s_ref, g2b_ref, w2_ref, b2_ref, *rest,
+            h: int, w: int, groups: int, eps: float, has_skip: bool):
+    if has_skip:
+        ws_ref, bs_ref, o_ref = rest
+    else:
+        o_ref = rest[0]
+    x = x_ref[0]  # (h*wp, Cin), garbage cols already zero (padded outside)
+    dtype = x.dtype
+    prec = _prec(dtype)
+    wp = w + 2
+    n = h * wp
+    hw = h * w
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % wp
+    valid = (col < w).astype(_F32)  # (n, 1) kills the garbage columns
+
+    # ---- GN1 (fp32 stats; identical math to models.layers.GroupNorm32) ----
+    xf = x.astype(_F32)
+    s1 = jnp.sum(xf, axis=0, keepdims=True) / hw            # (1, Cin)
+    d = (xf - s1) * valid
+    v1 = jnp.sum(d * d, axis=0, keepdims=True) / hw
+    a1, b1a = _group_affine(s1, v1, g1s_ref[:].astype(_F32),
+                            g1b_ref[:].astype(_F32), groups, eps)
+    y = jax.nn.silu(x * a1.astype(dtype) + b1a.astype(dtype))
+    y = y * valid.astype(dtype)
+
+    # ---- conv1 + bias + time-embedding channel vector ----
+    zpre = jnp.zeros((wp + 1, y.shape[-1]), dtype)
+    src1 = jnp.concatenate([zpre, y, zpre], axis=0)
+    acc = _conv3x3(src1, w1_ref, h, wp, prec)
+    h1f = acc + b1_ref[:].astype(_F32) + e_ref[:].astype(_F32)
+    h1 = (h1f * valid).astype(dtype)  # mask BEFORE GN2 stats
+
+    # ---- GN2 + SiLU ----
+    hf = h1.astype(_F32)
+    s2 = jnp.sum(hf, axis=0, keepdims=True) / hw
+    d2 = (hf - s2) * valid
+    v2 = jnp.sum(d2 * d2, axis=0, keepdims=True) / hw
+    a2, b2a = _group_affine(s2, v2, g2s_ref[:].astype(_F32),
+                            g2b_ref[:].astype(_F32), groups, eps)
+    y2 = jax.nn.silu(h1 * a2.astype(dtype) + b2a.astype(dtype))
+    y2 = y2 * valid.astype(dtype)  # conv2 halo must be zeros
+
+    # ---- conv2 (zero-init at train start) + bias ----
+    zpre2 = jnp.zeros((wp + 1, y2.shape[-1]), dtype)
+    src2 = jnp.concatenate([zpre2, y2, zpre2], axis=0)
+    h2 = _conv3x3(src2, w2_ref, h, wp, prec) + b2_ref[:].astype(_F32)
+
+    # ---- skip connection ----
+    if has_skip:
+        skip = jnp.dot(x, ws_ref[0], preferred_element_type=_F32,
+                       precision=prec) + bs_ref[:].astype(_F32)
+    else:
+        skip = x.astype(_F32)
+    o_ref[0] = (skip + h2).astype(dtype)
+
+
+def _vmem_bytes(h, w, cin, cout, itemsize):
+    wp = w + 2
+    n = h * wp
+    acts = n * (cin * 4 + cout * 7) * itemsize  # x/y/src copies + accs (~)
+    wgt = 9 * (cin + cout) * cout * itemsize + (cin * cout * itemsize)
+    return acts + wgt
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
+def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
+                           ws, bs, groups: int = 32, eps: float = 1e-5,
+                           interpret: bool = False):
+    """xs: (B, H, Wp, Cin) with the last 2 columns zero. Returns the strided
+    (B, H, Wp, Cout) output (caller slices [:, :, :W])."""
+    bsz, hh, wpad, cin = xs.shape
+    ww = wpad - 2
+    cout = w1.shape[-1]
+    dtype = xs.dtype
+    has_skip = ws is not None
+    x2 = xs.reshape(bsz, hh * wpad, cin)
+
+    def row(v):  # (C,) param -> (1, C) fp32 VMEM row
+        return v.astype(_F32).reshape(1, -1)
+
+    args = [
+        x2,
+        e.astype(dtype),
+        row(g1s), row(g1b),
+        w1.astype(dtype).reshape(9, cin, cout), row(b1),
+        row(g2s), row(g2b),
+        w2.astype(dtype).reshape(9, cout, cout), row(b2),
+    ]
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, hh * wpad, cin), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        const(1, cin), const(1, cin),
+        const(9, cin, cout), const(1, cout),
+        const(1, cout), const(1, cout),
+        const(9, cout, cout), const(1, cout),
+    ]
+    if has_skip:
+        args += [ws.astype(dtype).reshape(1, cin, cout), row(bs)]
+        in_specs += [const(1, cin, cout), const(1, cout)]
+
+    kernel = functools.partial(_kernel, h=hh, w=ww, groups=groups, eps=eps,
+                               has_skip=has_skip)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, hh * wpad, cout), dtype),
+        grid=(bsz,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hh * wpad, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+    return out.reshape(bsz, hh, wpad, cout)
+
+
+def _xla_fused_resblock(x, e, p, groups: int, eps: float):
+    """Fallback with the exact module math (models/unet.py ResBlock)."""
+    from ..models.layers import gn_fold_moments
+
+    dtype = x.dtype
+
+    def gn(v, scale, bias):
+        vf = v.astype(_F32)
+        s1 = jnp.mean(vf, axis=(1, 2))
+        d = vf - s1[:, None, None, :]
+        v_c = jnp.mean(d * d, axis=(1, 2))
+        a, b = gn_fold_moments(s1, v_c, scale.astype(_F32),
+                               bias.astype(_F32), groups, eps)
+        a = a[:, None, None, :].astype(dtype)
+        b = b[:, None, None, :].astype(dtype)
+        return v * a + b
+
+    def conv3(v, w, b):
+        out = jax.lax.conv_general_dilated(
+            v, w.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + b.astype(dtype)
+
+    y = jax.nn.silu(gn(x, p["gn1_scale"], p["gn1_bias"]))
+    h = conv3(y, p["w1"], p["b1"]) + e[:, None, None, :].astype(dtype)
+    y2 = jax.nn.silu(gn(h, p["gn2_scale"], p["gn2_bias"]))
+    h2 = conv3(y2, p["w2"], p["b2"])
+    if p.get("w_skip") is not None:
+        skip = jax.lax.conv_general_dilated(
+            x, p["w_skip"].astype(dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["b_skip"].astype(dtype)
+    else:
+        skip = x
+    return skip + h2
+
+
+# ~matches the v5e VMEM budget minus pipelining headroom; concat-skip blocks
+# at ds4/ds8 (Cin up to 2560 -> 88 MB of weights alone) fall back to XLA.
+_VMEM_BUDGET = int(os.environ.get("DIFFBIR_TPU_FUSED_VMEM", 72 * 1024 * 1024))
+
+
+def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
+                   force: Optional[str] = None):
+    """x: (B, H, W, Cin) NHWC; e: (B, Cout) time-emb projection; p: dict of
+    fp32 params {gn1_scale, gn1_bias, w1 (3,3,Cin,Cout), b1, gn2_scale,
+    gn2_bias, w2 (3,3,Cout,Cout), b2, [w_skip (1,1,Cin,Cout), b_skip]}.
+
+    ``force`` in {"pallas", "xla", "interpret"} overrides dispatch (tests).
+    Env DIFFBIR_TPU_FUSED_RESBLOCK=xla disables the kernel globally.
+    """
+    bsz, hh, ww, cin = x.shape
+    cout = p["w1"].shape[-1]
+    has_skip = p.get("w_skip") is not None
+    use_pallas = force in ("pallas", "interpret")
+    if force is None:
+        env = os.environ.get("DIFFBIR_TPU_FUSED_RESBLOCK", "auto")
+        use_pallas = (
+            env != "xla"
+            and jax.default_backend() == "tpu"
+            and _vmem_bytes(hh, ww, cin, cout, x.dtype.itemsize)
+            <= _VMEM_BUDGET
+        )
+    if not use_pallas:
+        return _xla_fused_resblock(x, e, p, groups, eps)
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    out = _pallas_fused_resblock(
+        xs, e, p["gn1_scale"], p["gn1_bias"], p["w1"], p["b1"],
+        p["gn2_scale"], p["gn2_bias"], p["w2"], p["b2"],
+        p.get("w_skip"), p.get("b_skip"),
+        groups=groups, eps=eps, interpret=force == "interpret",
+    )
+    return out[:, :, :ww, :]

@@ -115,6 +115,10 @@ def parse_args() -> Namespace:
                    help="int8 weight-only UNet/ControlNet dense sites "
                         "(serving mode; ~half the dense weight HBM traffic, "
                         "quality delta measured in QUANT_QUALITY.json)")
+    p.add_argument("--fused_resblock", action="store_true",
+                   help="Pallas fused-ResBlock serving mode: each UNet/"
+                        "ControlNet ResBlock runs as one kernel with the "
+                        "activation pinned in VMEM (inference-only)")
     p.add_argument("--llava_bit", type=str, default="4", choices=["16", "8", "4"])
     return p.parse_args()
 

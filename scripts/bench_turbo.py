@@ -29,7 +29,9 @@ from diffbir_tpu.utils.common import wavelet_reconstruction
 
 
 def main():
-    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16,
+                           quant_dense=bool(int(os.environ.get("BENCH_QUANT", "0"))),
+                           fused_resblock=bool(int(os.environ.get("BENCH_FUSED", "0"))))
     swin = SwinIR(dtype=jnp.bfloat16)
     schedule = Schedule.create(timesteps=1000, parameterization="v", zero_snr=True)
     sampler = SpacedSampler(schedule.betas, "v", rescale_cfg=False)
