@@ -46,6 +46,14 @@ def _prec(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
+def _silu(v):
+    # jax.nn.silu on bf16 inside a TPU Pallas kernel trips a Mosaic
+    # verification bug (f32 constant broadcast into a bf16 vector inside
+    # sigmoid's lowering); compute the gate in fp32 and cast back.
+    vf = v.astype(_F32)
+    return (vf * jax.nn.sigmoid(vf)).astype(v.dtype)
+
+
 def _group_affine(s1, v_c, scale, bias, groups: int, eps: float):
     """Per-channel fp32 moments (1, C) -> per-channel GN affine (1, C) rows.
 
@@ -110,14 +118,14 @@ def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     v1 = jnp.sum(d * d, axis=0, keepdims=True) / hw
     a1, b1a = _group_affine(s1, v1, g1s_ref[:].astype(_F32),
                             g1b_ref[:].astype(_F32), groups, eps)
-    y = jax.nn.silu(x * a1.astype(dtype) + b1a.astype(dtype))
+    y = _silu(x * a1.astype(dtype) + b1a.astype(dtype))
     y = y * valid.astype(dtype)
 
     # ---- conv1 + bias + time-embedding channel vector ----
     zpre = jnp.zeros((wp + 1, y.shape[-1]), dtype)
     src1 = jnp.concatenate([zpre, y, zpre], axis=0)
     acc = _conv3x3(src1, w1_ref, h, wp, prec)
-    h1f = acc + b1_ref[:].astype(_F32) + e_ref[:].astype(_F32)
+    h1f = acc + b1_ref[:].astype(_F32) + e_ref[0].astype(_F32)
     h1 = (h1f * valid).astype(dtype)  # mask BEFORE GN2 stats
 
     # ---- GN2 + SiLU ----
@@ -127,7 +135,7 @@ def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     v2 = jnp.sum(d2 * d2, axis=0, keepdims=True) / hw
     a2, b2a = _group_affine(s2, v2, g2s_ref[:].astype(_F32),
                             g2b_ref[:].astype(_F32), groups, eps)
-    y2 = jax.nn.silu(h1 * a2.astype(dtype) + b2a.astype(dtype))
+    y2 = _silu(h1 * a2.astype(dtype) + b2a.astype(dtype))
     y2 = y2 * valid.astype(dtype)  # conv2 halo must be zeros
 
     # ---- conv2 (zero-init at train start) + bias ----
@@ -170,7 +178,7 @@ def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
 
     args = [
         x2,
-        e.astype(dtype),
+        e.astype(dtype).reshape(bsz, 1, cout),
         row(g1s), row(g1b),
         w1.astype(dtype).reshape(9, cin, cout), row(b1),
         row(g2s), row(g2b),
@@ -181,7 +189,7 @@ def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     in_specs = [
         pl.BlockSpec((1, hh * wpad, cin), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         const(1, cin), const(1, cin),
         const(9, cin, cout), const(1, cout),
         const(1, cout), const(1, cout),
