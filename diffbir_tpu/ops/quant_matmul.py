@@ -191,9 +191,11 @@ def _xla_quant_matmul_int4(
     return acc.astype(x.dtype)
 
 
-def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window):
+def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window, gpw):
     """Grid (n_tiles, k_windows); one K step = one pack window of `window`
-    logical rows (window/2 packed int8 rows)."""
+    logical rows (window/2 packed int8 rows). ``scale_ref`` carries the FULL
+    K/group_size rows (a (gpw,)-row block would violate the TPU BlockSpec
+    last-two-dims rule); the window's ``gpw`` rows are sliced in-kernel."""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -207,10 +209,11 @@ def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window):
     lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
     hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 24), 28)
     w_int = jnp.concatenate([lo, hi], axis=0)  # [window, bn]
-    ng, bn = scale_ref.shape  # groups within this window
+    bn = scale_ref.shape[-1]
+    scale_w = scale_ref[pl.dslice(j * gpw, gpw), :]  # dynamic REF slice
     w = (
-        w_int.reshape(ng, window // ng, bn).astype(jnp.float32)
-        * scale_ref[:][:, None, :]
+        w_int.reshape(gpw, window // gpw, bn).astype(jnp.float32)
+        * scale_w[:, None, :]
     ).reshape(window, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32,
@@ -244,7 +247,7 @@ def _pallas_quant_matmul_int4(
     assert n % bn == 0, (n, bn)
     grid = (n // bn, k // window)
     out = pl.pallas_call(
-        functools.partial(_kernel_int4, window=window),
+        functools.partial(_kernel_int4, window=window, gpw=groups_per_window),
         out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
         grid=grid,
         in_specs=[
@@ -252,8 +255,10 @@ def _pallas_quant_matmul_int4(
             pl.BlockSpec(
                 (window // 2, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
+            # full K/group rows per N tile (block-shape rule; window rows
+            # are sliced inside the kernel)
             pl.BlockSpec(
-                (groups_per_window, bn), lambda i, j: (j, i),
+                (scale.shape[0], bn), lambda i, j: (0, i),
                 memory_space=pltpu.VMEM,
             ),
         ],

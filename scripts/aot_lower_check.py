@@ -1,0 +1,104 @@
+"""AOT-lower every Pallas kernel for the TPU platform from the CPU host.
+
+``jax.export.export(jit_fn, platforms=("tpu",))`` runs the full
+Pallas->Mosaic lowering + MLIR verification without needing a chip, which
+catches block-shape rule violations and Mosaic verifier bugs that
+interpret-mode tests cannot see (it caught the fused-ResBlock emb BlockSpec
+and the bf16-silu broadcast bug). The Mosaic *backend* compile still only
+runs on the device, so this is necessary-not-sufficient — but it is the
+cheapest pre-TPU gate we have while the tunnel is down.
+
+Run: python scripts/aot_lower_check.py   (forces CPU; safe anywhere)
+Exit code != 0 if any production shape fails to lower.
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+FAILS = []
+
+
+def check(name, fn, *args):
+    try:
+        jax.export.export(jax.jit(fn), platforms=("tpu",))(*args)
+        print(f"ok   {name}")
+    except Exception as exc:  # noqa: BLE001
+        FAILS.append(name)
+        print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:300]}")
+
+
+def z(shape, dtype=jnp.bfloat16):
+    return jnp.zeros(shape, dtype)
+
+
+def main():
+    # ---- flash attention forward (UNet self-attn sites, bf16) ----
+    from diffbir_tpu.ops import flash_attention as fa
+
+    for seq, heads in ((4096, 5), (1024, 10)):
+        q = z((2, seq, heads, 64))
+        check(f"flash_fwd seq={seq}", fa.flash_attention, q, q, q)
+
+    # ---- flash attention backward (training shapes) ----
+    def bwd(q, k, v):
+        f = lambda a, b, c: jnp.sum(fa.flash_attention(a, b, c).astype(jnp.float32))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for seq, heads in ((4096, 5), (1024, 10)):
+        q = z((2, seq, heads, 64))
+        check(f"flash_bwd seq={seq}", bwd, q, q, q)
+
+    # ---- int8/int4 weight-only matmul (M-tiled dense serving + LLaVA),
+    # through the public dispatcher so block sizes match production ----
+    from diffbir_tpu.ops.quant_matmul import quant_matmul, quant_matmul_int4
+
+    qm = functools.partial(quant_matmul, force="pallas")
+    qm4 = functools.partial(quant_matmul_int4, force="pallas")
+    for m, k, n in ((8192, 1280, 1280), (77, 1024, 4096), (1, 4096, 11008)):
+        check(f"quant_int8 m={m} k={k} n={n}", qm,
+              z((m, k)), z((k, n), jnp.int8), z((n,), jnp.float32))
+
+    for m, k, n in ((1, 4096, 4096), (16, 4096, 11008)):
+        check(f"quant_int4 m={m} k={k} n={n}", qm4,
+              z((m, k)), z((k // 2, n), jnp.int8),
+              z((k // 128, n), jnp.float32))
+
+    # ---- fused ResBlock (every SD2.1 UNet site that dispatches to Pallas) ----
+    from diffbir_tpu.ops.fused_resblock import _pallas_fused_resblock
+
+    sites = [
+        (320, 320, 64, 64), (640, 320, 64, 64), (960, 320, 64, 64),
+        (320, 640, 32, 32), (640, 640, 32, 32), (1280, 640, 32, 32),
+        (1920, 640, 32, 32), (640, 1280, 16, 16), (1280, 1280, 16, 16),
+        (1280, 1280, 8, 8),
+    ]
+    for cin, cout, h, w in sites:
+        skip = cin != cout
+        bias = z((cout,), jnp.float32)
+        args = (
+            z((2, h, w + 2, cin)), z((2, cout)),
+            z((cin,), jnp.float32), z((cin,), jnp.float32),
+            z((3, 3, cin, cout), jnp.float32), bias,
+            z((cout,), jnp.float32), z((cout,), jnp.float32),
+            z((3, 3, cout, cout), jnp.float32), bias,
+            z((1, 1, cin, cout), jnp.float32) if skip else None,
+            bias if skip else None,
+        )
+        f = functools.partial(_pallas_fused_resblock, groups=32, eps=1e-5)
+        check(f"fused_resblock cin={cin} cout={cout} {h}x{w}", f, *args)
+
+    print(f"\n{len(FAILS)} failures" if FAILS else "\nall kernels lower for tpu")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
