@@ -42,10 +42,15 @@ class CustomInferenceLoop(InferenceLoop):
 
     def load_cldm(self) -> None:
         dtype = self._dtype()
-        self.cldm = ControlLDM.sd21(dtype=dtype)
-        shapes = self.cldm.eval_shapes((64, 64))
+        quant = bool(getattr(self.args, "quant_dense", False))
+        fused = bool(getattr(self.args, "fused_resblock", False))
+        self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant,
+                                    fused_resblock=fused)
+        # checkpoints load through the float layout (see loop.py)
+        load_cldm = ControlLDM.sd21(dtype=dtype) if quant else self.cldm
+        shapes = load_cldm.eval_shapes((64, 64))
         sd = load_torch_state_dict(resolve_model(self.train_cfg["train"]["sd_path"]))
-        params = self.cldm.load_pretrained_sd(shapes, sd)
+        params = load_cldm.load_pretrained_sd(shapes, sd)
 
         ckpt = self.args.ckpt
         if os.path.isdir(ckpt):  # orbax checkpoint from train_stage2.py
@@ -55,13 +60,17 @@ class CustomInferenceLoop(InferenceLoop):
             params = {**params, "controlnet": restored["controlnet"]}
         else:
             cn_sd = load_torch_state_dict(ckpt)
-            params = self.cldm.load_controlnet_from_ckpt(params, cn_sd)
+            params = load_cldm.load_controlnet_from_ckpt(params, cn_sd)
         if dtype == jnp.bfloat16:
             params = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x, jnp.bfloat16)
                 if np.asarray(x).dtype == np.float32 else jnp.asarray(x),
                 params,
             )
+        if quant:
+            from ..models.cldm import quantize_dense_params
+
+            params = quantize_dense_params(params)
         self.params = params
         # honor the train config's EXPLICIT keys — inferring from zero_snr
         # alone mis-decodes e.g. (parameterization=v, zero_snr=false)
