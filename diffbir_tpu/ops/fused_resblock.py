@@ -260,6 +260,10 @@ def _xla_fused_resblock(x, e, p, groups: int, eps: float):
 # ~matches the v5e VMEM budget minus pipelining headroom; concat-skip blocks
 # at ds4/ds8 (Cin up to 2560 -> 88 MB of weights alone) fall back to XLA.
 _VMEM_BUDGET = int(os.environ.get("DIFFBIR_TPU_FUSED_VMEM", 72 * 1024 * 1024))
+# minimum spatial positions for kernel dispatch — tune from
+# scripts/bench_fused_resblock.py (small grids underutilize the MXU and the
+# XLA path may win there).
+_MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 
 
 def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
@@ -280,6 +284,7 @@ def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
         use_pallas = (
             env != "xla"
             and jax.default_backend() == "tpu"
+            and hh * ww >= _MIN_HW
             and _vmem_bytes(hh, ww, cin, cout, x.dtype.itemsize)
             <= _VMEM_BUDGET
         )
