@@ -82,3 +82,23 @@ def test_quant_dense_layer_exact_math():
     np.testing.assert_allclose(
         np.asarray(q.astype(jnp.float32) * s[None, :]), np.asarray(w), atol=0.3 / 127 * 2
     )
+
+
+def test_quant_composes_with_fused_resblock(float_setup):
+    """--quant_dense + --fused_resblock together: the fused branch registers
+    the same tree (QuantDense emb site included) and stays close to float."""
+    cldm, params = float_setup
+    qf = ControlLDM.tiny(quant_dense=True, fused_resblock=True)
+    pq = quantize_dense_params(params)
+    expect = qf.eval_shapes((8, 8))
+    got_flat = jax.tree_util.tree_flatten_with_path(pq["unet"])[0]
+    exp_flat = jax.tree_util.tree_flatten_with_path(expect["unet"])[0]
+    got = {jax.tree_util.keystr(k): (v.shape, v.dtype) for k, v in got_flat}
+    exp = {jax.tree_util.keystr(k): (v.shape, v.dtype) for k, v in exp_flat}
+    assert got == exp
+    x, t, cond = _inputs()
+    out_f = np.asarray(jax.jit(lambda p: cldm(p, x, t, cond))(params))
+    out_qf = np.asarray(jax.jit(lambda p: qf(p, x, t, cond))(pq))
+    assert np.all(np.isfinite(out_qf))
+    rel = np.abs(out_qf - out_f).max() / (np.abs(out_f).max() + 1e-6)
+    assert rel < 0.05, rel
