@@ -49,9 +49,11 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
+    qconv = bool(int(os.environ.get("BENCH_QUANT_CONV", "0")))
     cldm = ControlLDM.sd21(dtype=jnp.bfloat16,
                            quant_dense=bool(int(os.environ.get("BENCH_QUANT", "0"))),
-                           fused_resblock=bool(int(os.environ.get("BENCH_FUSED", "0"))))
+                           fused_resblock=qconv or bool(int(os.environ.get("BENCH_FUSED", "0"))),
+                           quant_conv=qconv)
     swin = SwinIR(dtype=jnp.bfloat16)
     schedule = Schedule.create(
         timesteps=1000, beta_schedule="linear", parameterization="v", zero_snr=True

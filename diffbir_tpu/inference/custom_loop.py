@@ -44,10 +44,14 @@ class CustomInferenceLoop(InferenceLoop):
         dtype = self._dtype()
         quant = bool(getattr(self.args, "quant_dense", False))
         fused = bool(getattr(self.args, "fused_resblock", False))
+        qconv = bool(getattr(self.args, "quant_conv", False))
+        if qconv and not fused:
+            raise ValueError("--quant_conv requires --fused_resblock")
         self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant,
-                                    fused_resblock=fused)
+                                    fused_resblock=fused, quant_conv=qconv)
         # checkpoints load through the float layout (see loop.py)
-        load_cldm = ControlLDM.sd21(dtype=dtype) if quant else self.cldm
+        load_cldm = (ControlLDM.sd21(dtype=dtype) if quant or qconv
+                     else self.cldm)
         shapes = load_cldm.eval_shapes((64, 64))
         sd = load_torch_state_dict(resolve_model(self.train_cfg["train"]["sd_path"]))
         params = load_cldm.load_pretrained_sd(shapes, sd)
@@ -71,6 +75,10 @@ class CustomInferenceLoop(InferenceLoop):
             from ..models.cldm import quantize_dense_params
 
             params = quantize_dense_params(params)
+        if qconv:
+            from ..models.cldm import quantize_conv_params
+
+            params = quantize_conv_params(params)
         self.params = params
         # honor the train config's EXPLICIT keys — inferring from zero_snr
         # alone mis-decodes e.g. (parameterization=v, zero_snr=false)

@@ -61,11 +61,16 @@ class InferenceLoop:
         ]
         quant = bool(getattr(self.args, "quant_dense", False))
         fused = bool(getattr(self.args, "fused_resblock", False))
+        qconv = bool(getattr(self.args, "quant_conv", False))
+        if qconv and not fused:
+            raise ValueError("--quant_conv requires --fused_resblock")
         self.cldm = ControlLDM.sd21(dtype=dtype, quant_dense=quant,
-                                    fused_resblock=fused)
+                                    fused_resblock=fused, quant_conv=qconv)
         # checkpoints always load through the float layout; the int8 serving
-        # transform (quantize_dense_params) runs after surgery + casting
-        load_cldm = ControlLDM.sd21(dtype=dtype) if quant else self.cldm
+        # transforms (quantize_dense_params / quantize_conv_params) run
+        # after surgery + casting
+        load_cldm = (ControlLDM.sd21(dtype=dtype) if quant or qconv
+                     else self.cldm)
         shapes = load_cldm.eval_shapes((64, 64))
         sd_key = "sd_v2.1_zsnr" if self.args.version == "v2.1" else "sd_v2.1"
         sd = load_torch_state_dict(resolve_model(sd_key))
@@ -96,6 +101,10 @@ class InferenceLoop:
             from ..models.cldm import quantize_dense_params
 
             params = quantize_dense_params(params)
+        if qconv:
+            from ..models.cldm import quantize_conv_params
+
+            params = quantize_conv_params(params)
         self.params = params
         self.schedule = make_schedule_for_version(self.args.version)
 

@@ -40,32 +40,39 @@ class ControlLDM:
     @classmethod
     def sd21(cls, dtype=jnp.bfloat16, use_checkpoint: bool = False,
              quant_dense: bool = False,
-             fused_resblock: bool = False) -> "ControlLDM":
+             fused_resblock: bool = False,
+             quant_conv: bool = False) -> "ControlLDM":
         """Standard SD2.1-base + IRControlNet sizes (configs/inference/cldm.yaml).
 
         ``quant_dense``: int8 weight-only serving mode for the UNet/ControlNet
         dense sites — pair with ``quantize_dense_params`` on a float tree.
         ``fused_resblock``: Pallas fused-ResBlock serving mode (same param
-        tree; inference-only, see ops/fused_resblock.py)."""
+        tree; inference-only, see ops/fused_resblock.py).
+        ``quant_conv``: int8 ResBlock conv weights INSIDE the fused kernel
+        (requires fused_resblock) — pair with ``quantize_conv_params``."""
         return cls(
             unet=UNetModel(dtype=dtype, use_checkpoint=use_checkpoint,
                            quant_dense=quant_dense,
-                           fused_resblock=fused_resblock),
+                           fused_resblock=fused_resblock,
+                           quant_conv=quant_conv),
             vae=AutoencoderKL(dtype=dtype),
             clip=CLIPTextEncoder(dtype=dtype),
             controlnet=ControlNet(dtype=dtype, use_checkpoint=use_checkpoint,
                                   quant_dense=quant_dense,
-                                  fused_resblock=fused_resblock),
+                                  fused_resblock=fused_resblock,
+                                  quant_conv=quant_conv),
         )
 
     @classmethod
     def tiny(cls, dtype=jnp.float32, quant_dense: bool = False,
-             fused_resblock: bool = False) -> "ControlLDM":
+             fused_resblock: bool = False,
+             quant_conv: bool = False) -> "ControlLDM":
         """Small CPU-runnable config for tests (still a true f8 VAE)."""
         kw = dict(
             model_channels=32, num_head_channels=16, channel_mult=(1, 2),
             attention_resolutions=(2, 1), context_dim=64, dtype=dtype,
             quant_dense=quant_dense, fused_resblock=fused_resblock,
+            quant_conv=quant_conv,
         )
         return cls(
             unet=UNetModel(**kw),
@@ -481,4 +488,46 @@ def quantize_dense_params(params: Params) -> Params:
         **params,
         "unet": walk(dict(params["unet"]), ("unet",)),
         "controlnet": walk(dict(params["controlnet"]), ("controlnet",)),
+    }
+
+
+# ResBlock conv scopes (the fused kernel's weight streams); unique to
+# ResBlock in the unet/controlnet trees.
+_QUANT_CONV_TAILS = ("in_layers.2", "out_layers.3", "skip_connection")
+
+
+def quantize_conv_params(params: Params) -> Params:
+    """Float ControlLDM params -> int8 ResBlock-conv serving layout.
+
+    Replaces each ResBlock conv ``kernel`` (4-D HWIO) in the unet/controlnet
+    subtrees with ``{kernel_q: int8, scale: f32[out]}`` (symmetric
+    per-output-channel over taps+Cin; ops/fused_resblock.quantize_conv_weight).
+    Matches the param tree of ``sd21(fused_resblock=True, quant_conv=True)``.
+    Composes with ``quantize_dense_params`` (disjoint key sets)."""
+    from ..ops.fused_resblock import quantize_conv_weight
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, val in node.items():
+            if (
+                isinstance(val, dict)
+                and key in _QUANT_CONV_TAILS
+                and "kernel" in val
+                and getattr(val["kernel"], "ndim", 0) == 4
+            ):
+                q, scale = quantize_conv_weight(val["kernel"])
+                slot = {"kernel_q": q, "scale": scale}
+                if "bias" in val:
+                    slot["bias"] = val["bias"]
+                out[key] = slot
+            else:
+                out[key] = walk(val)
+        return out
+
+    return {
+        **params,
+        "unet": walk(dict(params["unet"])),
+        "controlnet": walk(dict(params["controlnet"])),
     }

@@ -57,20 +57,29 @@ class _GNParams(nn.Module):
 
 
 class _ConvParams(nn.Module):
-    """Registers conv()-compatible kernel/bias params without the conv."""
+    """Registers conv()-compatible kernel/bias params without the conv.
+
+    ``quant``: int8 weight-only serving layout instead — {kernel_q, scale,
+    bias} (pair with cldm.quantize_conv_params on a float tree); returns
+    (kernel_q, scale, bias)."""
 
     shape: Tuple[int, ...]  # (kh, kw, cin, cout)
     zero_init: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self):
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                          jnp.float32)
+        if self.quant:
+            kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                            self.shape, jnp.int8)
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (self.shape[-1],), jnp.float32)
+            return kq, scale, bias
         init = (nn.initializers.zeros_init() if self.zero_init
                 else nn.initializers.lecun_normal())
-        return (
-            self.param("kernel", init, self.shape, jnp.float32),
-            self.param("bias", nn.initializers.zeros, (self.shape[-1],),
-                       jnp.float32),
-        )
+        return self.param("kernel", init, self.shape, jnp.float32), bias
 
 
 class ResBlock(nn.Module):
@@ -80,29 +89,41 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
     quant: bool = False  # int8 emb_layers.1 (serving mode, see QuantDense)
     fused: bool = False  # Pallas fused-block serving mode (ops/fused_resblock)
+    quant_conv: bool = False  # int8 conv weights INSIDE the fused kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
         d = (functools.partial(QuantDense, dtype=self.dtype) if self.quant
              else functools.partial(dense, dtype=self.dtype))
         co = self.out_channels
+        if self.quant_conv and not self.fused:
+            raise ValueError("quant_conv requires the fused ResBlock path")
         if self.fused:
             # Same param tree as the unfused branch (names/shapes/init match
             # the submodules), executed by one Pallas kernel per image.
             from ..ops.fused_resblock import fused_resblock
 
+            qc = self.quant_conv
             g1s, g1b = _GNParams(x.shape[-1], name="in_layers.0")()
-            w1, b1 = _ConvParams((3, 3, x.shape[-1], co), name="in_layers.2")()
+            cp1 = _ConvParams((3, 3, x.shape[-1], co), quant=qc,
+                              name="in_layers.2")()
             e = d(co, name="emb_layers.1")(nn.silu(emb))
             g2s, g2b = _GNParams(co, name="out_layers.0")()
-            w2, b2 = _ConvParams((3, 3, co, co), zero_init=True,
-                                 name="out_layers.3")()
-            p = dict(gn1_scale=g1s, gn1_bias=g1b, w1=w1, b1=b1,
-                     gn2_scale=g2s, gn2_bias=g2b, w2=w2, b2=b2)
+            cp2 = _ConvParams((3, 3, co, co), zero_init=True, quant=qc,
+                              name="out_layers.3")()
+            p = dict(gn1_scale=g1s, gn1_bias=g1b, gn2_scale=g2s, gn2_bias=g2b)
+            if qc:
+                p["w1_q"], p["s1"], p["b1"] = cp1
+                p["w2_q"], p["s2"], p["b2"] = cp2
+            else:
+                (p["w1"], p["b1"]), (p["w2"], p["b2"]) = cp1, cp2
             if x.shape[-1] != co:
-                ws, bs = _ConvParams((1, 1, x.shape[-1], co),
-                                     name="skip_connection")()
-                p["w_skip"], p["b_skip"] = ws, bs
+                cps = _ConvParams((1, 1, x.shape[-1], co), quant=qc,
+                                  name="skip_connection")()
+                if qc:
+                    p["w_skip_q"], p["s_skip"], p["b_skip"] = cps
+                else:
+                    p["w_skip"], p["b_skip"] = cps
             return fused_resblock(x.astype(self.dtype), e, p)
         h = GroupNorm32(name="in_layers.0")(x)
         h = nn.silu(h)
@@ -324,6 +345,7 @@ class UNetModel(nn.Module):
     use_checkpoint: bool = False
     quant_dense: bool = False  # int8 dense sites (inference serving mode)
     fused_resblock: bool = False  # Pallas fused ResBlock (inference serving)
+    quant_conv: bool = False  # int8 conv weights in the fused kernel
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -345,7 +367,8 @@ class UNetModel(nn.Module):
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer, static_argnums=()) if self.use_checkpoint else SpatialTransformer
         Res = functools.partial(Res, quant=self.quant_dense,
-                                fused=self.fused_resblock)
+                                fused=self.fused_resblock,
+                                quant_conv=self.quant_conv)
         ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)
@@ -454,6 +477,7 @@ class ControlNet(nn.Module):
     use_checkpoint: bool = False
     quant_dense: bool = False  # int8 dense sites (inference serving mode)
     fused_resblock: bool = False  # Pallas fused ResBlock (inference serving)
+    quant_conv: bool = False  # int8 conv weights in the fused kernel
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -469,7 +493,8 @@ class ControlNet(nn.Module):
         Res = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
         ST = nn.remat(SpatialTransformer) if self.use_checkpoint else SpatialTransformer
         Res = functools.partial(Res, quant=self.quant_dense,
-                                fused=self.fused_resblock)
+                                fused=self.fused_resblock,
+                                quant_conv=self.quant_conv)
         ST = functools.partial(ST, quant=self.quant_dense)
 
         t_emb = timestep_embedding(timesteps, mc)

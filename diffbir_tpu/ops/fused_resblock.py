@@ -81,14 +81,22 @@ def _conv3x3(src, w_ref, h: int, wp: int, prec):
     """src: (>= h*wp + 2*wp + 2, C) flattened-padded rows; w_ref: (9, C, Co).
 
     Returns fp32 (h*wp, Co): out[t] = sum_taps src[t + ky*wp + kx] @ w[tap],
-    i.e. a cross-correlation (torch/flax conv convention)."""
+    i.e. a cross-correlation (torch/flax conv convention).
+
+    int8 weights (quant serving mode) are cast per tap to the activation
+    dtype — integers <= 127 are exact in bf16 — and the caller applies the
+    per-output-channel scale ONCE on the fp32 accumulator (exact: the scale
+    factors out of the tap/channel sums)."""
     n = h * wp
     acc = None
     for ky in range(3):
         for kx in range(3):
             off = ky * wp + kx
+            w = w_ref[ky * 3 + kx]
+            if w.dtype == jnp.int8:
+                w = w.astype(src.dtype)
             part = jnp.dot(
-                src[off:off + n], w_ref[ky * 3 + kx],
+                src[off:off + n], w,
                 preferred_element_type=_F32, precision=prec,
             )
             acc = part if acc is None else acc + part
@@ -97,9 +105,16 @@ def _conv3x3(src, w_ref, h: int, wp: int, prec):
 
 def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
             g2s_ref, g2b_ref, w2_ref, b2_ref, *rest,
-            h: int, w: int, groups: int, eps: float, has_skip: bool):
+            h: int, w: int, groups: int, eps: float, has_skip: bool,
+            quant: bool = False):
+    if quant:
+        s1_ref, s2_ref = rest[0], rest[1]
+        rest = rest[2:]
     if has_skip:
-        ws_ref, bs_ref, o_ref = rest
+        if quant:
+            ws_ref, ss_ref, bs_ref, o_ref = rest
+        else:
+            ws_ref, bs_ref, o_ref = rest
     else:
         o_ref = rest[0]
     x = x_ref[0]  # (h*wp, Cin), garbage cols already zero (padded outside)
@@ -125,6 +140,8 @@ def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     zpre = jnp.zeros((wp + 1, y.shape[-1]), dtype)
     src1 = jnp.concatenate([zpre, y, zpre], axis=0)
     acc = _conv3x3(src1, w1_ref, h, wp, prec)
+    if quant:
+        acc = acc * s1_ref[:].astype(_F32)
     h1f = acc + b1_ref[:].astype(_F32) + e_ref[0].astype(_F32)
     h1 = (h1f * valid).astype(dtype)  # mask BEFORE GN2 stats
 
@@ -141,37 +158,58 @@ def _kernel(x_ref, e_ref, g1s_ref, g1b_ref, w1_ref, b1_ref,
     # ---- conv2 (zero-init at train start) + bias ----
     zpre2 = jnp.zeros((wp + 1, y2.shape[-1]), dtype)
     src2 = jnp.concatenate([zpre2, y2, zpre2], axis=0)
-    h2 = _conv3x3(src2, w2_ref, h, wp, prec) + b2_ref[:].astype(_F32)
+    h2 = _conv3x3(src2, w2_ref, h, wp, prec)
+    if quant:
+        h2 = h2 * s2_ref[:].astype(_F32)
+    h2 = h2 + b2_ref[:].astype(_F32)
 
     # ---- skip connection ----
     if has_skip:
-        skip = jnp.dot(x, ws_ref[0], preferred_element_type=_F32,
-                       precision=prec) + bs_ref[:].astype(_F32)
+        wsk = ws_ref[0]
+        if wsk.dtype == jnp.int8:
+            wsk = wsk.astype(dtype)
+        skip = jnp.dot(x, wsk, preferred_element_type=_F32, precision=prec)
+        if quant:
+            skip = skip * ss_ref[:].astype(_F32)
+        skip = skip + bs_ref[:].astype(_F32)
     else:
         skip = x.astype(_F32)
     o_ref[0] = (skip + h2).astype(dtype)
 
 
-def _vmem_bytes(h, w, cin, cout, itemsize):
+def _vmem_bytes(h, w, cin, cout, itemsize, w_itemsize=None):
     wp = w + 2
     n = h * wp
+    w_itemsize = itemsize if w_itemsize is None else w_itemsize
     acts = n * (cin * 4 + cout * 7) * itemsize  # x/y/src copies + accs (~)
-    wgt = 9 * (cin + cout) * cout * itemsize + (cin * cout * itemsize)
+    wgt = 9 * (cin + cout) * cout * w_itemsize + (cin * cout * w_itemsize)
+    if w_itemsize < itemsize:
+        # quant mode: one (Cin, Cout) tap transiently cast to compute dtype
+        wgt += cin * cout * itemsize
     return acts + wgt
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "interpret"))
 def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
-                           ws, bs, groups: int = 32, eps: float = 1e-5,
+                           ws, bs, s1=None, s2=None, ss=None,
+                           groups: int = 32, eps: float = 1e-5,
                            interpret: bool = False):
     """xs: (B, H, Wp, Cin) with the last 2 columns zero. Returns the strided
-    (B, H, Wp, Cout) output (caller slices [:, :, :W])."""
+    (B, H, Wp, Cout) output (caller slices [:, :, :W]).
+
+    ``s1/s2/ss`` present => int8 weight-only mode: w1/w2/ws stream as int8
+    (half the weight HBM bytes + VMEM) and the per-output-channel scales are
+    applied on the fp32 accumulators."""
     bsz, hh, wpad, cin = xs.shape
     ww = wpad - 2
     cout = w1.shape[-1]
     dtype = xs.dtype
     has_skip = ws is not None
+    quant = s1 is not None
     x2 = xs.reshape(bsz, hh * wpad, cin)
+
+    def wcast(v):  # weights stay int8 in quant mode, else compute dtype
+        return v if v.dtype == jnp.int8 else v.astype(dtype)
 
     def row(v):  # (C,) param -> (1, C) fp32 VMEM row
         return v.astype(_F32).reshape(1, -1)
@@ -180,9 +218,9 @@ def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
         x2,
         e.astype(dtype).reshape(bsz, 1, cout),
         row(g1s), row(g1b),
-        w1.astype(dtype).reshape(9, cin, cout), row(b1),
+        wcast(w1).reshape(9, cin, cout), row(b1),
         row(g2s), row(g2b),
-        w2.astype(dtype).reshape(9, cout, cout), row(b2),
+        wcast(w2).reshape(9, cout, cout), row(b2),
     ]
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
@@ -195,12 +233,20 @@ def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
         const(1, cout), const(1, cout),
         const(9, cout, cout), const(1, cout),
     ]
+    if quant:
+        args += [row(s1), row(s2)]
+        in_specs += [const(1, cout), const(1, cout)]
     if has_skip:
-        args += [ws.astype(dtype).reshape(1, cin, cout), row(bs)]
-        in_specs += [const(1, cin, cout), const(1, cout)]
+        args += [wcast(ws).reshape(1, cin, cout)]
+        in_specs += [const(1, cin, cout)]
+        if quant:
+            args += [row(ss)]
+            in_specs += [const(1, cout)]
+        args += [row(bs)]
+        in_specs += [const(1, cout)]
 
     kernel = functools.partial(_kernel, h=hh, w=ww, groups=groups, eps=eps,
-                               has_skip=has_skip)
+                               has_skip=has_skip, quant=quant)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -219,11 +265,35 @@ def _pallas_fused_resblock(xs, e, g1s, g1b, w1, b1, g2s, g2b, w2, b2,
     return out.reshape(bsz, hh, wpad, cout)
 
 
+def quantize_conv_weight(w):
+    """fp32 conv kernel (..., Cout) -> (int8 same-shape, f32 (Cout,) scales).
+
+    Symmetric per-output-channel over all leading dims (taps + Cin); mirrors
+    ops/quant_matmul.quantize_weight for 2-D dense kernels."""
+    wf = jnp.asarray(w, _F32)
+    amax = jnp.max(jnp.abs(wf), axis=tuple(range(wf.ndim - 1)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dequant_p(p, dtype):
+    """Quantized fused-ResBlock param dict -> float dict (XLA fallback)."""
+    out = dict(p)
+    for wk, sk in (("w1", "s1"), ("w2", "s2"), ("w_skip", "s_skip")):
+        qk = wk + "_q" if wk != "w_skip" else "w_skip_q"
+        if out.get(qk) is not None:
+            out[wk] = out.pop(qk).astype(dtype) * out.pop(sk).astype(dtype)
+    return out
+
+
 def _xla_fused_resblock(x, e, p, groups: int, eps: float):
     """Fallback with the exact module math (models/unet.py ResBlock)."""
     from ..models.layers import gn_fold_moments
 
     dtype = x.dtype
+    if "w1_q" in p:
+        p = _dequant_p(p, dtype)
 
     def gn(v, scale, bias):
         vf = v.astype(_F32)
@@ -272,12 +342,20 @@ def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
     fp32 params {gn1_scale, gn1_bias, w1 (3,3,Cin,Cout), b1, gn2_scale,
     gn2_bias, w2 (3,3,Cout,Cout), b2, [w_skip (1,1,Cin,Cout), b_skip]}.
 
+    int8 weight-only mode (serving): replace w1/w2/w_skip with
+    w1_q/w2_q/w_skip_q (int8, same shapes) + s1/s2/s_skip (f32 (Cout,)
+    per-output-channel scales, see quantize_conv_weight). Halves the
+    kernel's weight HBM traffic and VMEM footprint — which also brings the
+    2560-in decoder concat sites under the VMEM budget.
+
     ``force`` in {"pallas", "xla", "interpret"} overrides dispatch (tests).
     Env DIFFBIR_TPU_FUSED_RESBLOCK=xla disables the kernel globally.
     """
     bsz, hh, ww, cin = x.shape
-    cout = p["w1"].shape[-1]
-    has_skip = p.get("w_skip") is not None
+    quant = "w1_q" in p
+    w1 = p["w1_q"] if quant else p["w1"]
+    cout = w1.shape[-1]
+    has_skip = (p.get("w_skip_q") if quant else p.get("w_skip")) is not None
     use_pallas = force in ("pallas", "interpret")
     if force is None:
         env = os.environ.get("DIFFBIR_TPU_FUSED_RESBLOCK", "auto")
@@ -285,16 +363,18 @@ def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
             env != "xla"
             and jax.default_backend() == "tpu"
             and hh * ww >= _MIN_HW
-            and _vmem_bytes(hh, ww, cin, cout, x.dtype.itemsize)
+            and _vmem_bytes(hh, ww, cin, cout, x.dtype.itemsize,
+                            w_itemsize=1 if quant else None)
             <= _VMEM_BUDGET
         )
     if not use_pallas:
         return _xla_fused_resblock(x, e, p, groups, eps)
     xs = jnp.pad(x, ((0, 0), (0, 0), (0, 2), (0, 0)))
     out = _pallas_fused_resblock(
-        xs, e, p["gn1_scale"], p["gn1_bias"], p["w1"], p["b1"],
-        p["gn2_scale"], p["gn2_bias"], p["w2"], p["b2"],
-        p.get("w_skip"), p.get("b_skip"),
+        xs, e, p["gn1_scale"], p["gn1_bias"], w1, p["b1"],
+        p["gn2_scale"], p["gn2_bias"], p["w2_q"] if quant else p["w2"], p["b2"],
+        p.get("w_skip_q") if quant else p.get("w_skip"), p.get("b_skip"),
+        s1=p.get("s1"), s2=p.get("s2"), ss=p.get("s_skip"),
         groups=groups, eps=eps, interpret=force == "interpret",
     )
     return out[:, :, :ww, :]

@@ -119,6 +119,11 @@ def parse_args() -> Namespace:
                    help="Pallas fused-ResBlock serving mode: each UNet/"
                         "ControlNet ResBlock runs as one kernel with the "
                         "activation pinned in VMEM (inference-only)")
+    p.add_argument("--quant_conv", action="store_true",
+                   help="int8 ResBlock conv weights inside the fused kernel "
+                        "(requires --fused_resblock; halves conv weight HBM "
+                        "traffic and brings the 2560-in decoder sites under "
+                        "the VMEM budget)")
     p.add_argument("--llava_bit", type=str, default="4", choices=["16", "8", "4"])
     return p.parse_args()
 

@@ -96,6 +96,26 @@ def main():
         f = functools.partial(_pallas_fused_resblock, groups=32, eps=1e-5)
         check(f"fused_resblock cin={cin} cout={cout} {h}x{w}", f, *args)
 
+    # ---- fused ResBlock, int8 weight-only mode (quant_conv serving) ----
+    # Includes the 2560-in decoder concat site the fp mode excludes by VMEM.
+    for cin, cout, h, w in sites + [(2560, 1280, 16, 16)]:
+        skip = cin != cout
+        bias = z((cout,), jnp.float32)
+        scale = z((cout,), jnp.float32)
+        args = (
+            z((2, h, w + 2, cin)), z((2, cout)),
+            z((cin,), jnp.float32), z((cin,), jnp.float32),
+            z((3, 3, cin, cout), jnp.int8), bias,
+            z((cout,), jnp.float32), z((cout,), jnp.float32),
+            z((3, 3, cout, cout), jnp.int8), bias,
+            z((1, 1, cin, cout), jnp.int8) if skip else None,
+            bias if skip else None,
+        )
+        f = functools.partial(_pallas_fused_resblock, s1=scale, s2=scale,
+                              ss=scale if skip else None,
+                              groups=32, eps=1e-5)
+        check(f"fused_resblock[int8] cin={cin} cout={cout} {h}x{w}", f, *args)
+
     print(f"\n{len(FAILS)} failures" if FAILS else "\nall kernels lower for tpu")
     sys.exit(1 if FAILS else 0)
 

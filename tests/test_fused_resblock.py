@@ -80,6 +80,75 @@ def test_module_fused_matches_unfused(cin, cout):
                                rtol=1e-5, atol=1e-5)
 
 
+def _quantize_p(p):
+    from diffbir_tpu.ops.fused_resblock import quantize_conv_weight
+
+    pq = {k: v for k, v in p.items()
+          if k not in ("w1", "w2", "w_skip")}
+    pq["w1_q"], pq["s1"] = quantize_conv_weight(p["w1"])
+    pq["w2_q"], pq["s2"] = quantize_conv_weight(p["w2"])
+    if "w_skip" in p:
+        pq["w_skip_q"], pq["s_skip"] = quantize_conv_weight(p["w_skip"])
+    return pq
+
+
+@pytest.mark.parametrize("cin,cout", [(64, 64), (64, 128)])
+def test_quant_interpret_matches_dequant_xla(cin, cout):
+    """int8 weight-only kernel == the XLA dequant fallback on the SAME
+    quantized params (the scale factors out of the tap/channel sums, so the
+    kernel's apply-scale-once-on-the-accumulator is exact)."""
+    p = _params(jax.random.PRNGKey(0), cin, cout, skip=cin != cout)
+    pq = _quantize_p(p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, cin), jnp.float32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, cout), jnp.float32)
+    ref = fused_resblock(x, e, pq, force="xla")
+    out = fused_resblock(x, e, pq, force="interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    # and the int8 rounding itself stays small vs the float block
+    flt = fused_resblock(x, e, p, force="xla")
+    rel = float(jnp.max(jnp.abs(ref - flt))) / float(jnp.max(jnp.abs(flt)))
+    assert rel < 0.05, rel
+
+
+def test_quantize_conv_weight_roundtrip():
+    from diffbir_tpu.ops.fused_resblock import quantize_conv_weight
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 32, 64)) * 0.2
+    q, s = quantize_conv_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (64,)
+    deq = q.astype(jnp.float32) * s
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w),
+                               atol=float(jnp.max(jnp.abs(w))) / 127 * 1.01)
+
+
+def test_module_quant_conv_close_to_float():
+    """ResBlock(fused=True, quant_conv=True) with quantized params stays
+    close to the float module (CPU XLA-fallback path)."""
+    from diffbir_tpu.models.cldm import quantize_conv_params
+
+    cin, cout = 64, 128
+    mod = ResBlock(cout)
+    mod_q = ResBlock(cout, fused=True, quant_conv=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, cin), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 32), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, emb)
+    # zero-init w2 -> perturb so the second half is exercised
+    params = jax.tree_util.tree_map(lambda a: a + 0.05, params)
+    pq = {"unet": params["params"], "controlnet": {}}
+    pq = quantize_conv_params(pq)
+    pq = {"params": pq["unet"]}
+    shapes_q = jax.tree_util.tree_map(
+        lambda a: (a.shape, a.dtype),
+        mod_q.init(jax.random.PRNGKey(0), x, emb))
+    shapes_t = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), pq)
+    assert shapes_q == shapes_t
+    ref = mod.apply(params, x, emb)
+    out = mod_q.apply(pq, x, emb)
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
+
+
 def test_unet_fused_flag_threads():
     """Tiny UNet with fused_resblock=True matches the standard one."""
     from diffbir_tpu.models.unet import UNetModel

@@ -13,7 +13,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from diffbir_tpu.models.cldm import ControlLDM, quantize_dense_params
+from diffbir_tpu.models.cldm import (
+    ControlLDM, quantize_conv_params, quantize_dense_params)
 
 
 @pytest.fixture(scope="module")
@@ -102,3 +103,56 @@ def test_quant_composes_with_fused_resblock(float_setup):
     assert np.all(np.isfinite(out_qf))
     rel = np.abs(out_qf - out_f).max() / (np.abs(out_f).max() + 1e-6)
     assert rel < 0.05, rel
+
+
+def _tree_sig(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(k): (v.shape, v.dtype) for k, v in flat}
+
+
+def test_quant_conv_tree_and_forward(float_setup):
+    """quantize_conv_params output == the tree tiny(fused_resblock=True,
+    quant_conv=True) expects, and the forward stays close to float."""
+    cldm, params = float_setup
+    qc = ControlLDM.tiny(fused_resblock=True, quant_conv=True)
+    pq = quantize_conv_params(params)
+    expect = qc.eval_shapes((8, 8))
+    for sub in ("unet", "controlnet"):
+        assert _tree_sig(pq[sub]) == _tree_sig(expect[sub]), sub
+    n_q = sum(1 for _, (s, d) in _tree_sig(pq["unet"]).items()
+              if d == jnp.int8)
+    assert n_q >= 6, n_q
+    x, t, cond = _inputs()
+    out_f = np.asarray(jax.jit(lambda p: cldm(p, x, t, cond))(params))
+    out_q = np.asarray(jax.jit(lambda p: qc(p, x, t, cond))(pq))
+    assert np.all(np.isfinite(out_q))
+    rel = np.abs(out_q - out_f).max() / (np.abs(out_f).max() + 1e-6)
+    assert rel < 0.05, rel
+
+
+def test_quant_conv_composes_with_quant_dense(float_setup):
+    """All three serving modes together: int8 dense + fused ResBlock with
+    int8 convs (disjoint key sets; transforms commute)."""
+    cldm, params = float_setup
+    qall = ControlLDM.tiny(quant_dense=True, fused_resblock=True,
+                           quant_conv=True)
+    pq = quantize_conv_params(quantize_dense_params(params))
+    pq2 = quantize_dense_params(quantize_conv_params(params))
+    assert _tree_sig(pq["unet"]) == _tree_sig(pq2["unet"])
+    expect = qall.eval_shapes((8, 8))
+    assert _tree_sig(pq["unet"]) == _tree_sig(expect["unet"])
+    x, t, cond = _inputs()
+    out_f = np.asarray(jax.jit(lambda p: cldm(p, x, t, cond))(params))
+    out_q = np.asarray(jax.jit(lambda p: qall(p, x, t, cond))(pq))
+    rel = np.abs(out_q - out_f).max() / (np.abs(out_f).max() + 1e-6)
+    assert rel < 0.05, rel
+
+
+def test_quant_conv_requires_fused():
+    from diffbir_tpu.models.unet import ResBlock
+
+    mod = ResBlock(32, quant_conv=True)  # fused=False
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 32))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 16))
+    with pytest.raises(ValueError, match="fused"):
+        mod.init(jax.random.PRNGKey(0), x, emb)
