@@ -32,7 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from diffbir_tpu.models.cldm import ControlLDM, quantize_dense_params
+from diffbir_tpu.models.cldm import (
+    ControlLDM, quantize_conv_params, quantize_dense_params)
 from diffbir_tpu.models.swinir import SwinIR
 from diffbir_tpu.sampler import SpacedSampler
 from diffbir_tpu.schedule import Schedule
@@ -64,6 +65,10 @@ def main():
 
     cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
     qcldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=True)
+    ccldm = ControlLDM.sd21(dtype=jnp.bfloat16, fused_resblock=True,
+                            quant_conv=True)
+    acldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=True,
+                            fused_resblock=True, quant_conv=True)
     lat = (args.size // 8, args.size // 8)
     params = bf(jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), lat))
 
@@ -82,6 +87,8 @@ def main():
 
     params = dezero(params, jax.random.PRNGKey(42))
     params_q = quantize_dense_params(params)
+    params_c = quantize_conv_params(params)
+    params_a = quantize_conv_params(params_q)
     sp = bf(jax.jit(swin.init)(jax.random.PRNGKey(1), jnp.zeros((1, args.size, args.size, 3))))
     tokens = jnp.zeros((1, 77), jnp.int32)
 
@@ -101,7 +108,12 @@ def main():
 
     lqs = [jnp.asarray(make_lq(7 + i, args.size)) for i in range(args.images)]
     results = {}
-    for tag, model, p in [("bf16", cldm, params), ("int8", qcldm, params_q)]:
+    for tag, model, p in [
+        ("bf16", cldm, params),
+        ("int8", qcldm, params_q),
+        ("int8conv", ccldm, params_c),       # fused ResBlock + int8 convs
+        ("int8all", acldm, params_a),        # dense + conv int8 together
+    ]:
         fn = make_fn(model)
         outs, times = [], []
         for i, lq in enumerate(lqs):
@@ -115,28 +127,30 @@ def main():
               f"{[f'{t:.2f}' for t in times]}", flush=True)
 
     base, _ = results["bf16"]
-    outs, _ = results["int8"]
-    probe = float(np.abs(outs[0] - base[0]).max())
-    assert probe > 1e-7, "int8 output bit-identical to bf16 — quant not engaged?"
-    ps = [float(psnr(jnp.asarray(o), jnp.asarray(b))[0]) for o, b in zip(outs, base)]
-    ss = [float(ssim(jnp.asarray(o), jnp.asarray(b))[0]) for o, b in zip(outs, base)]
-    # warm per-image time = the LAST image of each mode (first includes compile)
-    speed = {
-        "bf16_warm_s": round(results["bf16"][1][-1], 3),
-        "int8_warm_s": round(results["int8"][1][-1], 3),
-    }
     report = {
         "protocol": {
             "size": args.size, "steps": args.steps, "sampler": "spaced",
             "cfg": 4.0, "images": args.images,
             "weights": "random-init sd21 (refresh with real checkpoints)",
-            "note": "PSNR/SSIM of int8-dense output vs bf16 output, same seed/x_T",
+            "note": "PSNR/SSIM of each quant serving mode vs the bf16 "
+                    "output, same seed/x_T; int8=dense sites, "
+                    "int8conv=fused-ResBlock convs, int8all=both",
         },
-        "psnr_vs_bf16_db": round(float(np.mean(ps)), 2),
-        "psnr_min_db": round(float(np.min(ps)), 2),
-        "ssim_vs_bf16": round(float(np.mean(ss)), 4),
-        **speed,
+        # warm per-image time = the LAST image (first includes compile)
+        "bf16_warm_s": round(results["bf16"][1][-1], 3),
     }
+    for tag in ("int8", "int8conv", "int8all"):
+        outs, times = results[tag]
+        probe = float(np.abs(outs[0] - base[0]).max())
+        assert probe > 1e-7, f"{tag} output bit-identical to bf16 — not engaged?"
+        ps = [float(psnr(jnp.asarray(o), jnp.asarray(b))[0])
+              for o, b in zip(outs, base)]
+        ss = [float(ssim(jnp.asarray(o), jnp.asarray(b))[0])
+              for o, b in zip(outs, base)]
+        report[f"{tag}_psnr_vs_bf16_db"] = round(float(np.mean(ps)), 2)
+        report[f"{tag}_psnr_min_db"] = round(float(np.min(ps)), 2)
+        report[f"{tag}_ssim_vs_bf16"] = round(float(np.mean(ss)), 4)
+        report[f"{tag}_warm_s"] = round(times[-1], 3)
     print(json.dumps(report))
     with open(os.path.join(REPO, "QUANT_QUALITY.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -82,6 +82,10 @@ def main():
         plan.append(("bench_quant", [PY, "bench.py"], {"BENCH_QUANT": "1"}, 1800))
         plan.append(("bench_fused_quant", [PY, "bench.py"],
                      {"BENCH_FUSED": "1", "BENCH_QUANT": "1"}, 1800))
+        plan.append(("bench_quant_conv", [PY, "bench.py"],
+                     {"BENCH_QUANT_CONV": "1"}, 1800))
+        plan.append(("bench_all_modes", [PY, "bench.py"],
+                     {"BENCH_QUANT_CONV": "1", "BENCH_QUANT": "1"}, 1800))
         if not args.quick:
             plan.append(("bench_train_step",
                          [PY, "scripts/bench_train_step.py"], None, 1800))
