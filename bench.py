@@ -50,10 +50,11 @@ def main():
     print(f"# device: {dev}", file=sys.stderr)
 
     qconv = bool(int(os.environ.get("BENCH_QUANT_CONV", "0")))
-    cldm = ControlLDM.sd21(dtype=jnp.bfloat16,
-                           quant_dense=bool(int(os.environ.get("BENCH_QUANT", "0"))),
-                           fused_resblock=qconv or bool(int(os.environ.get("BENCH_FUSED", "0"))),
-                           quant_conv=qconv)
+    quant = bool(int(os.environ.get("BENCH_QUANT", "0")))
+    fused = qconv or bool(int(os.environ.get("BENCH_FUSED", "0")))
+    explicit_mode = quant or fused
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=quant,
+                           fused_resblock=fused, quant_conv=qconv)
     swin = SwinIR(dtype=jnp.bfloat16)
     schedule = Schedule.create(
         timesteps=1000, beta_schedule="linear", parameterization="v", zero_snr=True
@@ -70,47 +71,84 @@ def main():
     )
     tokens = jnp.zeros((1, 77), jnp.int32)
 
-    def restore(params, sp, lq, pos_tok, neg_tok, rng):
-        cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
-        cond = cldm.prepare_condition(params, cond_img, pos_tok)
-        uncond = cldm.prepare_condition(params, cond_img, neg_tok)
-        rng, k1, k2 = jax.random.split(rng, 3)
-        x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+    def make_restore(model):
+        def restore(params, sp, lq, pos_tok, neg_tok, rng):
+            cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
+            cond = model.prepare_condition(params, cond_img, pos_tok)
+            uncond = model.prepare_condition(params, cond_img, neg_tok)
+            rng, k1, k2 = jax.random.split(rng, 3)
+            x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
 
-        def model_fn(x, t, c):
-            return cldm(params, x, t, c, control_scales=1.0)
+            def model_fn(x, t, c):
+                return model(params, x, t, c, control_scales=1.0)
 
-        z = sampler.sample(model_fn, x_T, cond, uncond, CFG, STEPS, k2)
-        x = cldm.vae_decode(params, z)
-        return wavelet_reconstruction((x + 1) / 2, cond_img)
+            z = sampler.sample(model_fn, x_T, cond, uncond, CFG, STEPS, k2)
+            x = model.vae_decode(params, z)
+            return wavelet_reconstruction((x + 1) / 2, cond_img)
 
-    fn = jax.jit(restore)
+        return jax.jit(restore)
+
     lq = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3), jnp.float32)
 
-    def run(key):
-        out = fn(params, sp, lq, tokens, tokens, key)
-        # fetch a scalar: forces execution + device->host sync even on
-        # remote/tunneled backends where block_until_ready is lazy
-        return float(jnp.sum(out))
+    def measure(fn, tag):
+        def run(key):
+            out = fn(params, sp, lq, tokens, tokens, key)
+            # fetch a scalar: forces execution + device->host sync even on
+            # remote/tunneled backends where block_until_ready is lazy
+            return float(jnp.sum(out))
 
-    t0 = time.time()
-    s = run(jax.random.PRNGKey(3))
-    compile_s = time.time() - t0
-    print(f"# compile+first-run: {compile_s:.1f}s (checksum {s:.3f})", file=sys.stderr)
-
-    times = []
-    for i in range(5):
         t0 = time.time()
-        run(jax.random.PRNGKey(4 + i))
-        times.append(time.time() - t0)
-    p50 = float(np.median(times))
-    print(f"# times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+        s = run(jax.random.PRNGKey(3))
+        print(f"# [{tag}] compile+first-run: {time.time() - t0:.1f}s "
+              f"(checksum {s:.3f})", file=sys.stderr)
+        times = []
+        for i in range(5):
+            t0 = time.time()
+            run(jax.random.PRNGKey(4 + i))
+            times.append(time.time() - t0)
+        print(f"# [{tag}] times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+        return float(np.median(times))
+
+    p50 = measure(make_restore(cldm), "fused" if fused else
+                  ("quant" if quant else "exact"))
+    mode = "explicit-env" if explicit_mode else "exact"
+
+    # Opportunistic A/B of the fused-ResBlock serving mode (same param tree,
+    # same math up to bf16 rounding): only when no explicit mode was forced,
+    # only on a real TPU (the kernel falls back to XLA elsewhere), and only
+    # if a single full-model forward agrees with the exact path. Any failure
+    # (compile, execution, parity) falls back to the exact-mode number.
+    if (not explicit_mode and jax.default_backend() == "tpu"
+            and os.environ.get("BENCH_AB", "1") == "1"):
+        try:
+            fcldm = ControlLDM.sd21(dtype=jnp.bfloat16, fused_resblock=True)
+            cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
+            cond = jax.jit(cldm.prepare_condition)(params, cond_img, tokens)
+            x = jax.random.normal(jax.random.PRNGKey(7),
+                                  cond["c_img"].shape, jnp.float32)
+            t = jnp.full((x.shape[0],), 500, jnp.int32)
+            ref = jax.jit(lambda p: cldm(p, x, t, cond))(params)
+            out = jax.jit(lambda p: fcldm(p, x, t, cond))(params)
+            ref32 = np.asarray(ref.astype(jnp.float32))
+            rel = float(np.abs(np.asarray(out.astype(jnp.float32)) - ref32).max()
+                        / (np.abs(ref32).max() + 1e-9))
+            print(f"# fused parity rel-max-abs: {rel:.4f}", file=sys.stderr)
+            if rel < 0.05:
+                p50_f = measure(make_restore(fcldm), "fused-ab")
+                if p50_f < p50:
+                    p50, mode = p50_f, "fused_resblock"
+            else:
+                print("# fused parity FAILED; keeping exact mode", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — never lose the baseline number
+            print(f"# fused A/B failed ({type(e).__name__}: {e}); "
+                  "keeping exact mode", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"{SIZE}x{SIZE} {STEPS}-step BSR restoration latency (p50, 1 chip)",
         "value": round(p50, 4),
         "unit": "s/image",
         "vs_baseline": round(BASELINE_S / p50, 3),
+        "mode": mode,
     }))
 
 

@@ -47,7 +47,7 @@ class ControlLDM:
         ``quant_dense``: int8 weight-only serving mode for the UNet/ControlNet
         dense sites — pair with ``quantize_dense_params`` on a float tree.
         ``fused_resblock``: Pallas fused-ResBlock serving mode (same param
-        tree; inference-only, see ops/fused_resblock.py).
+        tree; differentiable via custom VJP, see ops/fused_resblock.py).
         ``quant_conv``: int8 ResBlock conv weights INSIDE the fused kernel
         (requires fused_resblock) — pair with ``quantize_conv_params``."""
         return cls(

@@ -19,7 +19,8 @@ with the zero columns acting as the left/right halo of the NEXT/PREVIOUS
 row stripe (a shift by Wp+1 rows turns the compact stripe layout into the
 centered padded layout). Grid is (batch,); one program owns one image.
 
-Inference-only (no custom VJP); training keeps the XLA path. Dispatch falls
+Differentiable via custom VJP (Pallas forward + XLA-math backward — the fused
+forward acts as remat; int8 weight mode stays serving-only). Dispatch falls
 back to XLA (same math, one jitted graph) off-TPU or when the block's VMEM
 footprint (big concat-skip channels) exceeds the budget.
 """
@@ -336,21 +337,8 @@ _VMEM_BUDGET = int(os.environ.get("DIFFBIR_TPU_FUSED_VMEM", 72 * 1024 * 1024))
 _MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 
 
-def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
-                   force: Optional[str] = None):
-    """x: (B, H, W, Cin) NHWC; e: (B, Cout) time-emb projection; p: dict of
-    fp32 params {gn1_scale, gn1_bias, w1 (3,3,Cin,Cout), b1, gn2_scale,
-    gn2_bias, w2 (3,3,Cout,Cout), b2, [w_skip (1,1,Cin,Cout), b_skip]}.
-
-    int8 weight-only mode (serving): replace w1/w2/w_skip with
-    w1_q/w2_q/w_skip_q (int8, same shapes) + s1/s2/s_skip (f32 (Cout,)
-    per-output-channel scales, see quantize_conv_weight). Halves the
-    kernel's weight HBM traffic and VMEM footprint — which also brings the
-    2560-in decoder concat sites under the VMEM budget.
-
-    ``force`` in {"pallas", "xla", "interpret"} overrides dispatch (tests).
-    Env DIFFBIR_TPU_FUSED_RESBLOCK=xla disables the kernel globally.
-    """
+def _fused_resblock_impl(x, e, p, *, groups: int = 32, eps: float = 1e-5,
+                         force: Optional[str] = None):
     bsz, hh, ww, cin = x.shape
     quant = "w1_q" in p
     w1 = p["w1_q"] if quant else p["w1"]
@@ -378,3 +366,54 @@ def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
         groups=groups, eps=eps, interpret=force == "interpret",
     )
     return out[:, :, :ww, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_resblock_diff(x, e, p, groups, eps, force):
+    return _fused_resblock_impl(x, e, p, groups=groups, eps=eps, force=force)
+
+
+def _diff_fwd(x, e, p, groups, eps, force):
+    out = _fused_resblock_impl(x, e, p, groups=groups, eps=eps, force=force)
+    return out, (x, e, p)
+
+
+def _diff_bwd(groups, eps, force, res, g):
+    # Backward through the XLA reference math (same math as the kernel up to
+    # bf16 rounding): recompute-forward + autodiff, i.e. the fused forward
+    # acts as rematerialization. Grads are exact w.r.t. the module's math.
+    x, e, p = res
+    _, vjp = jax.vjp(
+        lambda x_, e_, p_: _xla_fused_resblock(x_, e_, p_, groups, eps),
+        x, e, p,
+    )
+    return vjp(g)
+
+
+_fused_resblock_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+def fused_resblock(x, e, p, *, groups: int = 32, eps: float = 1e-5,
+                   force: Optional[str] = None):
+    """x: (B, H, W, Cin) NHWC; e: (B, Cout) time-emb projection; p: dict of
+    fp32 params {gn1_scale, gn1_bias, w1 (3,3,Cin,Cout), b1, gn2_scale,
+    gn2_bias, w2 (3,3,Cout,Cout), b2, [w_skip (1,1,Cin,Cout), b_skip]}.
+
+    int8 weight-only mode (serving): replace w1/w2/w_skip with
+    w1_q/w2_q/w_skip_q (int8, same shapes) + s1/s2/s_skip (f32 (Cout,)
+    per-output-channel scales, see quantize_conv_weight). Halves the
+    kernel's weight HBM traffic and VMEM footprint — which also brings the
+    2560-in decoder concat sites under the VMEM budget.
+
+    Differentiable (float mode): a custom VJP runs the Pallas kernel forward
+    and backpropagates through the XLA reference math (recompute + autodiff),
+    so the fused block composes with jax.grad / remat for training. The int8
+    mode is serving-only and stays non-differentiable.
+
+    ``force`` in {"pallas", "xla", "interpret"} overrides dispatch (tests).
+    Env DIFFBIR_TPU_FUSED_RESBLOCK=xla disables the kernel globally.
+    """
+    if "w1_q" in p:
+        return _fused_resblock_impl(x, e, p, groups=groups, eps=eps,
+                                    force=force)
+    return _fused_resblock_diff(x, e, p, groups, eps, force)

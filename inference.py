@@ -118,7 +118,7 @@ def parse_args() -> Namespace:
     p.add_argument("--fused_resblock", action="store_true",
                    help="Pallas fused-ResBlock serving mode: each UNet/"
                         "ControlNet ResBlock runs as one kernel with the "
-                        "activation pinned in VMEM (inference-only)")
+                        "activation pinned in VMEM")
     p.add_argument("--quant_conv", action="store_true",
                    help="int8 ResBlock conv weights inside the fused kernel "
                         "(requires --fused_resblock; halves conv weight HBM "

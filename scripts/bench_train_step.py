@@ -40,9 +40,13 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--remat", action="store_true",
                     help="gradient checkpointing (needed for larger batches)")
+    ap.add_argument("--fused_resblock", action="store_true",
+                    help="Pallas fused-ResBlock forward (custom VJP; the "
+                         "bwd runs the XLA math)")
     args = ap.parse_args()
 
-    cldm = ControlLDM.sd21(dtype=jnp.bfloat16, use_checkpoint=args.remat)
+    cldm = ControlLDM.sd21(dtype=jnp.bfloat16, use_checkpoint=args.remat,
+                           fused_resblock=args.fused_resblock)
     schedule = Schedule.create(timesteps=1000, parameterization="v", zero_snr=True)
     lat = args.size // 8
     params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (lat, lat))

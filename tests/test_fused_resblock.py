@@ -165,3 +165,108 @@ def test_unet_fused_flag_threads():
     out = m1.apply(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("skip", [False, True])
+def test_grad_matches_module(skip):
+    """jax.grad through fused_resblock (custom VJP) == grad through the
+    plain module math, for inputs, time-emb, and every param."""
+    cin, cout = 64, 128 if skip else 64
+    p = _params(jax.random.PRNGKey(0), cin, cout, skip=skip)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, cin), jnp.float32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (2, cout), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, cout))
+
+    def loss_fused(x, e, p):
+        return jnp.mean((fused_resblock(x, e, p) - tgt) ** 2)
+
+    def loss_ref(x, e, p):
+        from diffbir_tpu.ops.fused_resblock import _xla_fused_resblock
+        return jnp.mean((_xla_fused_resblock(x, e, p, 32, 1e-5) - tgt) ** 2)
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, e, p)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(x, e, p)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_grad_through_interpret_forward():
+    """The custom VJP composes with the Pallas (interpret) forward: grads
+    are the XLA-math grads up to the forward's fp32 rounding (the loss
+    cotangent depends on the forward output)."""
+    from diffbir_tpu.ops.fused_resblock import _fused_resblock_diff
+
+    cin = cout = 64
+    p = _params(jax.random.PRNGKey(0), cin, cout, skip=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, cin), jnp.float32)
+    e = jax.random.normal(jax.random.PRNGKey(2), (1, cout), jnp.float32)
+
+    def loss(force, x, e, p):
+        return jnp.sum(_fused_resblock_diff(x, e, p, 32, 1e-5, force) ** 2)
+
+    g_int = jax.grad(lambda *a: loss("interpret", *a), argnums=(0, 2))(x, e, p)
+    g_xla = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 2))(x, e, p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_int),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_module_fused_trains():
+    """ResBlock(fused=True) under jax.grad: same grads as the unfused
+    module (the training path no longer needs to avoid the fused flag)."""
+    cin, cout = 64, 128
+    mod = ResBlock(cout)
+    mod_f = ResBlock(cout, fused=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, cin), jnp.float32)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 32), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, emb)
+    params = jax.tree_util.tree_map(lambda a: a + 0.05, params)
+
+    def loss(m, p):
+        return jnp.mean(m.apply(p, x, emb) ** 2)
+
+    g = jax.jit(jax.grad(lambda p: loss(mod, p)))(params)
+    gf = jax.jit(jax.grad(lambda p: loss(mod_f, p)))(params)
+    flat_g = jax.tree_util.tree_flatten_with_path(g)[0]
+    flat_gf = dict(jax.tree_util.tree_flatten_with_path(gf)[0])
+    assert len(flat_g) == len(flat_gf)
+    for k, v in flat_g:
+        np.testing.assert_allclose(np.asarray(flat_gf[k]), np.asarray(v),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(k))
+
+
+def test_stage2_train_step_with_fused_resblock():
+    """One stage-2 train step with fused_resblock=True: loss/grads match the
+    unfused step (CPU XLA-fallback forward; custom-VJP backward)."""
+    from diffbir_tpu.models.cldm import ControlLDM
+    from diffbir_tpu.schedule import Schedule
+    from diffbir_tpu.train.stage2 import (
+        init_train_state, make_optimizer, make_train_step)
+
+    schedule = Schedule.create(timesteps=50)
+    base = ControlLDM.tiny()
+    fused = ControlLDM.tiny(fused_resblock=True)
+    params = jax.jit(base.init_params, static_argnums=1)(
+        jax.random.PRNGKey(0), (8, 8))
+    batch = {
+        "gt": jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 2 - 1,
+        "lq": jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3)),
+        "tokens": jnp.zeros((2, 77), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(3)
+    metrics = {}
+    for tag, model in (("base", base), ("fused", fused)):
+        opt = make_optimizer(1e-4)
+        state = init_train_state(params, opt)
+        step = jax.jit(make_train_step(model, schedule, opt))
+        _, m = step(state, batch, rng)
+        metrics[tag] = {k: float(v) for k, v in m.items()}
+    assert np.isfinite(metrics["fused"]["loss"])
+    np.testing.assert_allclose(metrics["fused"]["loss"],
+                               metrics["base"]["loss"], rtol=1e-4)
+    np.testing.assert_allclose(metrics["fused"]["grad_norm"],
+                               metrics["base"]["grad_norm"], rtol=1e-3)

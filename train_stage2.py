@@ -77,7 +77,11 @@ def main():
 
     # ---- models ----
     cldm = ControlLDM.sd21(
-        dtype=jnp.bfloat16, use_checkpoint=bool(cfg["model"]["cldm"].get("use_checkpoint"))
+        dtype=jnp.bfloat16,
+        use_checkpoint=bool(cfg["model"]["cldm"].get("use_checkpoint")),
+        # Pallas fused-ResBlock forward (custom VJP backprops through the
+        # XLA math); composes with remat — fwd recompute uses the kernel
+        fused_resblock=bool(cfg["model"]["cldm"].get("fused_resblock")),
     )
     schedule = Schedule.create(
         timesteps=1000, beta_schedule="linear", linear_start=0.00085, linear_end=0.0120,
