@@ -12,6 +12,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Policy discovery: attempt the kernel at EVERY site (the production budget
+# in ops/fused_resblock.py is then set FROM this table). Read before import.
+os.environ.setdefault("DIFFBIR_TPU_FUSED_VMEM", str(1 << 40))
+os.environ.setdefault("DIFFBIR_TPU_FUSED_MIN_HW", "0")
+
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +24,7 @@ from diffbir_tpu.utils.jax_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+from diffbir_tpu.models.cldm import quantize_conv_params
 from diffbir_tpu.models.unet import ResBlock
 
 # (cin, cout, h, w) — encoder, middle, and decoder(concat) sites at 64x64 base
@@ -60,23 +66,35 @@ def main():
                                 jnp.bfloat16)
         mod = ResBlock(cout, dtype=jnp.bfloat16)
         mod_f = ResBlock(cout, dtype=jnp.bfloat16, fused=True)
+        mod_q = ResBlock(cout, dtype=jnp.bfloat16, fused=True, quant_conv=True)
         params = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
             mod.init(jax.random.PRNGKey(2), x, emb),
         )
+        pq = quantize_conv_params({"unet": params["params"], "controlnet": {}})
+        params_q = {"params": pq["unet"]}
         f_x = jax.jit(lambda p, a, b: mod.apply(p, a, b))
         f_f = jax.jit(lambda p, a, b: mod_f.apply(p, a, b))
-        try:
-            ms_f = timed(f_f, params, x, emb)
-        except Exception as exc:  # noqa: BLE001 — report per-shape failures
-            ms_f = float("nan")
-            print(f"  fused failed for {(cin, cout, h, w)}: {exc}")
+        f_q = jax.jit(lambda p, a, b: mod_q.apply(p, a, b))
+
+        def attempt(fn, p, tag):
+            try:
+                return timed(fn, p, x, emb)
+            except Exception as exc:  # noqa: BLE001 — report per-shape failures
+                print(f"  {tag} failed for {(cin, cout, h, w)}: {exc}")
+                return float("nan")
+
+        ms_f = attempt(f_f, params, "fused")
+        ms_q = attempt(f_q, params_q, "fused[int8]")
         ms_x = timed(f_x, params, x, emb)
         total_x += ms_x
-        total_f += min(ms_x, ms_f) if ms_f == ms_f else ms_x
-        speed = ms_x / ms_f if ms_f == ms_f else float("nan")
+        best = min(v for v in (ms_x, ms_f, ms_q) if v == v)
+        total_f += best
+        sp_f = ms_x / ms_f if ms_f == ms_f else float("nan")
+        sp_q = ms_x / ms_q if ms_q == ms_q else float("nan")
         print(f"cin={cin:5d} cout={cout:5d} {h:3d}x{w:<3d}  "
-              f"xla {ms_x:7.3f} ms  fused {ms_f:7.3f} ms  x{speed:.2f}")
+              f"xla {ms_x:7.3f} ms  fused {ms_f:7.3f} ms (x{sp_f:.2f})  "
+              f"int8 {ms_q:7.3f} ms (x{sp_q:.2f})")
     print(f"# sum over sites: xla {total_x:.2f} ms, best-of {total_f:.2f} ms")
 
 
