@@ -336,6 +336,44 @@ _VMEM_BUDGET = int(os.environ.get("DIFFBIR_TPU_FUSED_VMEM", 72 * 1024 * 1024))
 # XLA path may win there).
 _MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 
+# Measured per-site dispatch (v5e, batch 2, scripts/bench_fused_resblock.py,
+# 2026-08-18): keyed (cin, cout, h*w). The win pattern is not monotone in any
+# single knob (equal-channel and decoder-concat sites win, channel-widening
+# and mid-grid 16x16 sites lose), so measured sites dispatch from this table;
+# unmeasured shapes fall back to the VMEM/MIN_HW heuristic above.
+# DIFFBIR_TPU_FUSED_TABLE=0 disables the table (the microbench sets it to
+# force kernel attempts at every site).
+_TABLE_FLOAT = {  # float fused kernel beats XLA (>=1.05x)
+    (320, 320, 4096),    # x1.10
+    (640, 640, 1024),    # x1.38
+    (1280, 1280, 64),    # x1.63
+    (640, 320, 4096),    # x1.05
+}
+_TABLE_INT8 = {  # int8-weight fused kernel beats XLA (>=1.05x)
+    (320, 320, 4096),    # x1.23
+    (640, 640, 1024),    # x1.18
+    (1280, 1280, 64),    # x1.90
+    (960, 320, 4096),    # x1.05
+    (1920, 640, 1024),   # x1.10
+    (2560, 1280, 256),   # x1.39
+}
+_MEASURED = {  # every microbenched site (winners + losers)
+    (320, 320, 4096), (320, 640, 1024), (640, 640, 1024), (640, 1280, 256),
+    (1280, 1280, 256), (1280, 1280, 64), (640, 320, 4096), (960, 320, 4096),
+    (1280, 640, 1024), (1920, 640, 1024), (2560, 1280, 256), (2560, 1280, 64),
+}
+
+
+def _table_dispatch(cin: int, cout: int, hw: int, quant: bool):
+    """Returns True/False from the measured table, or None if unmeasured
+    (or the table is disabled)."""
+    if os.environ.get("DIFFBIR_TPU_FUSED_TABLE", "1") == "0":
+        return None
+    key = (cin, cout, hw)
+    if key not in _MEASURED:
+        return None
+    return key in (_TABLE_INT8 if quant else _TABLE_FLOAT)
+
 
 def _fused_resblock_impl(x, e, p, *, groups: int = 32, eps: float = 1e-5,
                          force: Optional[str] = None):
@@ -347,13 +385,17 @@ def _fused_resblock_impl(x, e, p, *, groups: int = 32, eps: float = 1e-5,
     use_pallas = force in ("pallas", "interpret")
     if force is None:
         env = os.environ.get("DIFFBIR_TPU_FUSED_RESBLOCK", "auto")
-        use_pallas = (
-            env != "xla"
-            and jax.default_backend() == "tpu"
-            and hh * ww >= _MIN_HW
+        table = _table_dispatch(cin, cout, hh * ww, quant)
+        heuristic = (
+            hh * ww >= _MIN_HW
             and _vmem_bytes(hh, ww, cin, cout, x.dtype.itemsize,
                             w_itemsize=1 if quant else None)
             <= _VMEM_BUDGET
+        )
+        use_pallas = (
+            env != "xla"
+            and jax.default_backend() == "tpu"
+            and (heuristic if table is None else table)
         )
     if not use_pallas:
         return _xla_fused_resblock(x, e, p, groups, eps)

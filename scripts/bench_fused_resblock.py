@@ -12,10 +12,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# Policy discovery: attempt the kernel at EVERY site (the production budget
-# in ops/fused_resblock.py is then set FROM this table). Read before import.
+# Policy discovery: attempt the kernel at EVERY site (the production
+# dispatch table in ops/fused_resblock.py is then set FROM this table).
+# Read before import.
 os.environ.setdefault("DIFFBIR_TPU_FUSED_VMEM", str(1 << 40))
 os.environ.setdefault("DIFFBIR_TPU_FUSED_MIN_HW", "0")
+os.environ.setdefault("DIFFBIR_TPU_FUSED_TABLE", "0")
 
 import jax
 import jax.numpy as jnp

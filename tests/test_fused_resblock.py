@@ -270,3 +270,22 @@ def test_stage2_train_step_with_fused_resblock():
                                metrics["base"]["loss"], rtol=1e-4)
     np.testing.assert_allclose(metrics["fused"]["grad_norm"],
                                metrics["base"]["grad_norm"], rtol=1e-3)
+
+
+def test_table_dispatch_policy(monkeypatch):
+    """Measured per-site dispatch (v5e microbench 2026-08-18): winners use
+    the kernel, measured losers use XLA, unmeasured shapes defer to the
+    VMEM/MIN_HW heuristic, and DIFFBIR_TPU_FUSED_TABLE=0 disables the table
+    (microbench policy-discovery mode)."""
+    from diffbir_tpu.ops import fused_resblock as fr
+
+    monkeypatch.delenv("DIFFBIR_TPU_FUSED_TABLE", raising=False)
+    assert fr._table_dispatch(320, 320, 4096, quant=False) is True
+    assert fr._table_dispatch(320, 640, 1024, quant=False) is False
+    # 2560-in decoder concat: loses in float, wins with int8 weights
+    assert fr._table_dispatch(2560, 1280, 256, quant=False) is False
+    assert fr._table_dispatch(2560, 1280, 256, quant=True) is True
+    # unmeasured shape -> heuristic
+    assert fr._table_dispatch(128, 128, 256, quant=False) is None
+    monkeypatch.setenv("DIFFBIR_TPU_FUSED_TABLE", "0")
+    assert fr._table_dispatch(320, 320, 4096, quant=False) is None
