@@ -79,35 +79,42 @@ def main():
                          [PY, "scripts/bench_fused_resblock.py"], None, 1800))
         plan.append(("bench_baseline", [PY, "bench.py"], None, 1800))
         plan.append(("bench_fused", [PY, "bench.py"], {"BENCH_FUSED": "1"}, 1800))
-        plan.append(("bench_quant", [PY, "bench.py"], {"BENCH_QUANT": "1"}, 1800))
-        plan.append(("bench_fused_quant", [PY, "bench.py"],
-                     {"BENCH_FUSED": "1", "BENCH_QUANT": "1"}, 1800))
-        plan.append(("bench_quant_conv", [PY, "bench.py"],
-                     {"BENCH_QUANT_CONV": "1"}, 1800))
-        plan.append(("bench_all_modes", [PY, "bench.py"],
-                     {"BENCH_QUANT_CONV": "1", "BENCH_QUANT": "1"}, 1800))
         if not args.quick:
             plan.append(("bench_train_step",
                          [PY, "scripts/bench_train_step.py"], None, 1800))
+        plan.append(("bench_quant", [PY, "bench.py"], {"BENCH_QUANT": "1"}, 1800))
+        plan.append(("bench_fused_quant", [PY, "bench.py"],
+                     {"BENCH_FUSED": "1", "BENCH_QUANT": "1"}, 1800))
+        if not args.quick:
             plan.append(("train_step_flash_bwd_xla",
                          [PY, "scripts/bench_train_step.py"],
                          {"DIFFBIR_TPU_FLASH_BWD": "xla"}, 1800))
             plan.append(("profile_step_ablation",
                          [PY, "scripts/profile_step_ablation.py"], None, 1800))
+        plan.append(("bench_quant_conv", [PY, "bench.py"],
+                     {"BENCH_QUANT_CONV": "1"}, 1800))
+        plan.append(("bench_all_modes", [PY, "bench.py"],
+                     {"BENCH_QUANT_CONV": "1", "BENCH_QUANT": "1"}, 1800))
+        if not args.quick:
             if not args.skip_extras:
                 plan.append(("bench_turbo", [PY, "scripts/bench_turbo.py"], None, 2400))
                 plan.append(("bench_highres", [PY, "scripts/bench_highres.py"], None, 2400))
 
+    out_path = os.path.join(REPO, "TPU_RUNBOOK_r3.json")
+
+    def flush():
+        with open(out_path, "w") as f:
+            json.dump({"probe_ok": ok, "steps": results}, f, indent=1)
+
+    flush()
     for name, argv, env, to in plan:
         r = step(name, argv, env=env, timeout=to)
         results.append(r)
+        flush()
         if r["timed_out"]:
             print("!! step timed out — chip may be wedged; aborting runbook")
             break
 
-    out_path = os.path.join(REPO, "TPU_RUNBOOK_r3.json")
-    with open(out_path, "w") as f:
-        json.dump({"probe_ok": ok, "steps": results}, f, indent=1)
     print(f"\nwrote {out_path}")
     return 0 if ok else 1
 
