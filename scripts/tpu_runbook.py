@@ -74,10 +74,10 @@ def main():
 
     plan = []
     if ok:
+        plan.append(("bench_baseline", [PY, "bench.py"], None, 1800))
         if not args.quick:
             plan.append(("bench_fused_resblock",
                          [PY, "scripts/bench_fused_resblock.py"], None, 1800))
-        plan.append(("bench_baseline", [PY, "bench.py"], None, 1800))
         plan.append(("bench_fused", [PY, "bench.py"], {"BENCH_FUSED": "1"}, 1800))
         if not args.quick:
             plan.append(("bench_train_step",
