@@ -337,25 +337,32 @@ _VMEM_BUDGET = int(os.environ.get("DIFFBIR_TPU_FUSED_VMEM", 72 * 1024 * 1024))
 _MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 
 # Measured per-site dispatch (v5e, batch 2, scripts/bench_fused_resblock.py,
-# 2026-08-18): keyed (cin, cout, h*w). The win pattern is not monotone in any
-# single knob (equal-channel and decoder-concat sites win, channel-widening
-# and mid-grid 16x16 sites lose), so measured sites dispatch from this table;
-# unmeasured shapes fall back to the VMEM/MIN_HW heuristic above.
+# 2026-08-18): keyed (cin, cout, h*w) -> measured kernel-vs-XLA speedup. The
+# win pattern is not monotone in any single knob (equal-channel and
+# decoder-concat sites win, channel-widening and mid-grid 16x16 sites lose),
+# so measured sites dispatch from this table; unmeasured shapes fall back to
+# the VMEM/MIN_HW heuristic above.
+# CAVEAT (measured 2026-08-18): dispatching every >=1.05x site made the
+# END-TO-END 50-step bench SLOWER (1.456 s vs 1.291 s exact) — isolated
+# per-site wins don't survive graph context (Pallas call boundaries break
+# XLA's surrounding fusions). DIFFBIR_TPU_FUSED_MIN_WIN (default 1.05)
+# raises the bar so only sites whose measured win exceeds it dispatch;
+# sweep it e2e before trusting any default flip.
 # DIFFBIR_TPU_FUSED_TABLE=0 disables the table (the microbench sets it to
 # force kernel attempts at every site).
-_TABLE_FLOAT = {  # float fused kernel beats XLA (>=1.05x)
-    (320, 320, 4096),    # x1.10
-    (640, 640, 1024),    # x1.38
-    (1280, 1280, 64),    # x1.63
-    (640, 320, 4096),    # x1.05
+_TABLE_FLOAT = {  # float fused kernel measured speedup vs XLA
+    (320, 320, 4096): 1.10,
+    (640, 640, 1024): 1.38,
+    (1280, 1280, 64): 1.63,
+    (640, 320, 4096): 1.05,
 }
-_TABLE_INT8 = {  # int8-weight fused kernel beats XLA (>=1.05x)
-    (320, 320, 4096),    # x1.23
-    (640, 640, 1024),    # x1.18
-    (1280, 1280, 64),    # x1.90
-    (960, 320, 4096),    # x1.05
-    (1920, 640, 1024),   # x1.10
-    (2560, 1280, 256),   # x1.39
+_TABLE_INT8 = {  # int8-weight fused kernel measured speedup vs XLA
+    (320, 320, 4096): 1.23,
+    (640, 640, 1024): 1.18,
+    (1280, 1280, 64): 1.90,
+    (960, 320, 4096): 1.05,
+    (1920, 640, 1024): 1.10,
+    (2560, 1280, 256): 1.39,
 }
 _MEASURED = {  # every microbenched site (winners + losers)
     (320, 320, 4096), (320, 640, 1024), (640, 640, 1024), (640, 1280, 256),
@@ -372,7 +379,9 @@ def _table_dispatch(cin: int, cout: int, hw: int, quant: bool):
     key = (cin, cout, hw)
     if key not in _MEASURED:
         return None
-    return key in (_TABLE_INT8 if quant else _TABLE_FLOAT)
+    min_win = float(os.environ.get("DIFFBIR_TPU_FUSED_MIN_WIN", "1.05"))
+    table = _TABLE_INT8 if quant else _TABLE_FLOAT
+    return table.get(key, 0.0) >= min_win
 
 
 def _fused_resblock_impl(x, e, p, *, groups: int = 32, eps: float = 1e-5,
