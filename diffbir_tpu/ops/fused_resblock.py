@@ -350,19 +350,23 @@ _MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 # sweep it e2e before trusting any default flip.
 # DIFFBIR_TPU_FUSED_TABLE=0 disables the table (the microbench sets it to
 # force kernel attempts at every site).
+# Ratios from the 23:34 session (same tunnel session as the e2e headline).
+# NOTE cross-session instability: an earlier same-day run measured
+# (1280,1280,64) at x1.63 float; this session it is x0.59 — per-site numbers
+# only transfer within a session, so refresh this table (bench_fused_resblock)
+# in the same session as any e2e decision.
 _TABLE_FLOAT = {  # float fused kernel measured speedup vs XLA
-    (320, 320, 4096): 1.10,
-    (640, 640, 1024): 1.38,
-    (1280, 1280, 64): 1.63,
-    (640, 320, 4096): 1.05,
+    (320, 320, 4096): 1.41,
+    (640, 640, 1024): 1.26,
+    (640, 1280, 256): 1.10,
+    (1920, 640, 1024): 1.18,
+    (2560, 1280, 256): 1.70,
 }
 _TABLE_INT8 = {  # int8-weight fused kernel measured speedup vs XLA
-    (320, 320, 4096): 1.23,
-    (640, 640, 1024): 1.18,
-    (1280, 1280, 64): 1.90,
-    (960, 320, 4096): 1.05,
-    (1920, 640, 1024): 1.10,
-    (2560, 1280, 256): 1.39,
+    (320, 320, 4096): 1.50,
+    (640, 640, 1024): 1.27,
+    (960, 320, 4096): 1.11,
+    (1920, 640, 1024): 1.08,
 }
 _MEASURED = {  # every microbenched site (winners + losers)
     (320, 320, 4096), (320, 640, 1024), (640, 640, 1024), (640, 1280, 256),

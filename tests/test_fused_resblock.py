@@ -282,9 +282,14 @@ def test_table_dispatch_policy(monkeypatch):
     monkeypatch.delenv("DIFFBIR_TPU_FUSED_TABLE", raising=False)
     assert fr._table_dispatch(320, 320, 4096, quant=False) is True
     assert fr._table_dispatch(320, 640, 1024, quant=False) is False
-    # 2560-in decoder concat: loses in float, wins with int8 weights
-    assert fr._table_dispatch(2560, 1280, 256, quant=False) is False
-    assert fr._table_dispatch(2560, 1280, 256, quant=True) is True
+    # 2560-in decoder concat: wins in float this session, loses with int8
+    assert fr._table_dispatch(2560, 1280, 256, quant=False) is True
+    assert fr._table_dispatch(2560, 1280, 256, quant=True) is False
+    # a high MIN_WIN bar drops marginal winners
+    monkeypatch.setenv("DIFFBIR_TPU_FUSED_MIN_WIN", "1.3")
+    assert fr._table_dispatch(640, 640, 1024, quant=False) is False
+    assert fr._table_dispatch(320, 320, 4096, quant=False) is True
+    monkeypatch.delenv("DIFFBIR_TPU_FUSED_MIN_WIN")
     # unmeasured shape -> heuristic
     assert fr._table_dispatch(128, 128, 256, quant=False) is None
     monkeypatch.setenv("DIFFBIR_TPU_FUSED_TABLE", "0")
