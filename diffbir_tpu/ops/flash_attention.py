@@ -315,6 +315,10 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # four (BQ, BK) fp32 temporaries (s, p, dp, ds) ~= 16 MB at the
+            # (1024,1024) default blocks; give the scoped stack headroom
+            # beyond the 16 MB default (see the forward's note).
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qf, kf, vf, of, lse, gf)
@@ -340,6 +344,7 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,  # see _dq_kernel's note
         ),
         interpret=interpret,
     )(qf, kf, vf, of, lse, gf)
@@ -406,6 +411,12 @@ def _flash_attention_impl(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the (2048,1024) fp32 s/p temporaries sit at ~16 MB; the extra
+            # lane-replicated lse output buffer pushed the scoped-vmem stack
+            # 168 KB over the 16 MB default (measured OOM, v5e train step).
+            # Raise the scoped budget instead of shrinking the measured-fast
+            # blocks; v5e has 128 MB physical VMEM.
+            vmem_limit_bytes=24 * 1024 * 1024 if return_lse else None,
         ),
         interpret=interpret,
     )(qf, kf, vf)
