@@ -190,7 +190,10 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 # --------------------------------------------------------------------------- #
 def _bwd_block_sizes(sq: int, skv: int):
     # backward holds ~4 (BQ, BK) fp32 temporaries (s, p, dp, ds) at once;
-    # (1024, 1024) keeps them at 4 MB each inside the 16 MB VMEM budget
+    # (1024, 1024) keeps them at 4 MB each — the pallas_calls below raise
+    # the scoped-vmem limit to 32 MB to give the compiler's stack headroom
+    # for these plus the block inputs (the 16 MB default was measured
+    # insufficient on the forward's lse variant; v5e has 128 MB physical)
     import os
 
     bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BQ", 1024))

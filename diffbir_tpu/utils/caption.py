@@ -13,7 +13,6 @@ EmptyCaptioner is always available and is the default.
 
 from __future__ import annotations
 
-LLAVA_AVAILABLE = False
 RAM_AVAILABLE = False
 
 try:  # pragma: no cover - heavyweight optional dep

@@ -28,10 +28,12 @@ SAMPLER_CHOICES = [
     "edm_euler", "edm_euler_a", "edm_heun", "edm_dpm_2", "edm_dpm_2_a",
     "edm_lms", "edm_dpm++_2s_a", "edm_dpm++_sde", "edm_dpm++_2m",
     "edm_dpm++_2m_sde", "edm_dpm++_3m_sde",
-    # ... plus extras this stack supports (dpm_adaptive is API-only: its
-    # data-dependent step count cannot live inside the jitted pipeline)
+    # ... plus extras this stack supports. edm_dpm_adaptive runs its PID
+    # step-size controller as a lax.while_loop inside the jitted pipeline
+    # (sampler/edm.py::_solve_dpm_adaptive_traced); --steps only sets the
+    # sigma range, the controller picks the actual step count.
     "dpm++_m1", "dpm++_m3", "dpm++_s2", "dpm++_s3", "dpm_m2", "dpm_m3",
-    "edm_dpm_fast",
+    "edm_dpm_fast", "edm_dpm_adaptive",
 ]
 
 
