@@ -122,7 +122,16 @@ class EDMSampler(Sampler):
         rng: jax.Array,
         cond_fn=None,
         guidance_target: Optional[jax.Array] = None,
+        noise_table: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """``noise_table`` — exact-parity noise injection: replaces every SDE
+        noise draw with a precomputed standard normal.  Shape (steps, *x)
+        for dpm++_2m_sde / dpm++_3m_sde / euler_a (one draw per step; the
+        final row is multiplied by 0), (steps, 2, *x) for dpm++_sde (two
+        draws per step, in reference call order).  Lets tests feed both this
+        sampler and the torch reference (k_diffusion.py:548-707, whose
+        ``noise_sampler`` argument we mirror) identical normals, closing the
+        BrownianTree-vs-fold_in determinism gap without torchsde."""
         sigmas, ts = self.make_schedule(steps)
         bs = x_T.shape[0]
         v_param = self.parameterization == "v"
@@ -222,9 +231,13 @@ class EDMSampler(Sampler):
             return scan_impls[self.solver_type](
                 model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
                 v_param, use_cfg, cond_fn=cond_fn, guidance_target=guidance_target,
+                noise_table=noise_table,
             )
         solver = getattr(self, "_solve_" + self.solver_type.replace("+", "p"))
-        return solver(denoiser, x, sigmas, cfg_at, rng, gnudge=gnudge)
+        kw = {"gnudge": gnudge}
+        if noise_table is not None:
+            kw["noise_table"] = jnp.asarray(noise_table)  # SDE solvers only
+        return solver(denoiser, x, sigmas, cfg_at, rng, **kw)
 
     # ------------------------------------------------------------------ #
     def _denoiser_rows(self, sigmas, ts, cfg_scale, v_param, n):
@@ -284,7 +297,7 @@ class EDMSampler(Sampler):
 
     def _sample_2m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg, cond_fn=None, guidance_target=None,
+        v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
     ):
         """dpm++_2m_sde (midpoint) as one lax.scan; carry = old denoised."""
         n = len(sigmas) - 1
@@ -310,6 +323,8 @@ class EDMSampler(Sampler):
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
         if cond_fn is not None:
             tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
         denoise, aux0 = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
         )
@@ -320,7 +335,9 @@ class EDMSampler(Sampler):
             denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - old)
-            x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
+            z = row["inj"] if noise_table is not None else jax.random.normal(
+                k_noise, x.shape, x.dtype)
+            x_new = x_new + row["noise"] * z
             return (x_new, denoised, key, aux), None
 
         (x, _, _, _), _ = jax.lax.scan(
@@ -329,7 +346,7 @@ class EDMSampler(Sampler):
 
     def _sample_euler_a_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg, cond_fn=None, guidance_target=None,
+        v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
     ):
         """Euler-ancestral as one lax.scan (no carry beyond x)."""
         n = len(sigmas) - 1
@@ -346,6 +363,8 @@ class EDMSampler(Sampler):
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
         if cond_fn is not None:
             tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
         denoise, aux0 = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
         )
@@ -355,7 +374,9 @@ class EDMSampler(Sampler):
             key, k_noise = jax.random.split(key)
             denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
-            x_new = x_new + row["noise"] * jax.random.normal(k_noise, x.shape, x.dtype)
+            z = row["inj"] if noise_table is not None else jax.random.normal(
+                k_noise, x.shape, x.dtype)
+            x_new = x_new + row["noise"] * z
             return (x_new, key, aux), None
 
         (x, _, _), _ = jax.lax.scan(body, (x, rng, aux0), tables)
@@ -364,7 +385,7 @@ class EDMSampler(Sampler):
     # ------------------------------------------------------------------ #
     def _sample_3m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg, cond_fn=None, guidance_target=None,
+        v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
     ):
         """dpm++_3m_sde (the default CLI solver) as ONE lax.scan.
 
@@ -407,6 +428,8 @@ class EDMSampler(Sampler):
         tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
         if cond_fn is not None:
             tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
 
         denoise, aux0 = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
@@ -419,7 +442,8 @@ class EDMSampler(Sampler):
 
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)
-            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            noise = row["inj"] if noise_table is not None else jax.random.normal(
+                k_noise, x.shape, x.dtype)
             x_new = x_new + row["noise"] * noise
             return (x_new, denoised, d1, key, aux), None
 
@@ -863,7 +887,8 @@ class EDMSampler(Sampler):
                 x = x + jax.random.normal(k, x.shape, x.dtype) * self.s_noise * su
         return x
 
-    def _solve_dpmpp_sde(self, den, x, sigmas, cfg_at, rng, r=0.5, gnudge=None):
+    def _solve_dpmpp_sde(self, den, x, sigmas, cfg_at, rng, r=0.5, gnudge=None,
+                         noise_table=None):
         n = len(sigmas) - 1
         for i in range(n):
             denoised = den(x, sigmas[i], cfg_at(sigmas[i]))
@@ -885,13 +910,18 @@ class EDMSampler(Sampler):
                 # sub-increment. Build both standard normals from two
                 # independent sub-increment draws (a over sig_i->sig_s,
                 # b over sig_s->sig_next) so the joint law matches.
-                rng, ka, kb = jax.random.split(rng, 3)
-                a = jax.random.normal(ka, x.shape, x.dtype)
-                b = jax.random.normal(kb, x.shape, x.dtype)
-                v1 = abs(sigmas[i] - sig_s)
-                v2 = abs(sig_s - sigmas[i + 1])
-                n1 = a
-                n2 = (a * np.sqrt(v1) + b * np.sqrt(v2)) / np.sqrt(v1 + v2)
+                if noise_table is not None:
+                    # exact-parity injection: the two reference noise_sampler
+                    # calls of this step, already standard normals
+                    n1, n2 = noise_table[i, 0], noise_table[i, 1]
+                else:
+                    rng, ka, kb = jax.random.split(rng, 3)
+                    a = jax.random.normal(ka, x.shape, x.dtype)
+                    b = jax.random.normal(kb, x.shape, x.dtype)
+                    v1 = abs(sigmas[i] - sig_s)
+                    v2 = abs(sig_s - sigmas[i + 1])
+                    n1 = a
+                    n2 = (a * np.sqrt(v1) + b * np.sqrt(v2)) / np.sqrt(v1 + v2)
 
                 sd, su = _ancestral_step(sigmas[i], sig_s, self.eta)
                 s_ = -np.log(sd)
@@ -935,7 +965,8 @@ class EDMSampler(Sampler):
         return x
 
     def _solve_dpmpp_2m_sde(self, den, x, sigmas, cfg_at, rng,
-                            solver_type="midpoint", gnudge=None):
+                            solver_type="midpoint", gnudge=None,
+                            noise_table=None):
         n = len(sigmas) - 1
         old_denoised, h_last = None, None
         for i in range(n):
@@ -959,8 +990,12 @@ class EDMSampler(Sampler):
                         coef = 0.5 * (-np.expm1(-h - eta_h))
                     x = x + coef * (1 / r_) * (denoised - old_denoised)
                 if self.eta:
-                    rng, k = jax.random.split(rng)
-                    x = x + jax.random.normal(k, x.shape, x.dtype) * sigmas[i + 1] * np.sqrt(
+                    if noise_table is not None:
+                        z = noise_table[i]
+                    else:
+                        rng, k = jax.random.split(rng)
+                        z = jax.random.normal(k, x.shape, x.dtype)
+                    x = x + z * sigmas[i + 1] * np.sqrt(
                         -np.expm1(-2 * eta_h)
                     ) * self.s_noise
                 if gnudge is not None:

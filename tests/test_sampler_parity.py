@@ -357,3 +357,92 @@ def test_dpm_adaptive_parity(betas, ref_samplers):
     np.testing.assert_allclose(
         np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=1e-3, rtol=1e-3
     )
+
+
+class _SeqNoise:
+    """Deterministic stand-in for the reference BrownianTreeNoiseSampler:
+    returns precomputed standard normals in call order (the reference's
+    noise_sampler protocol, k_diffusion.py:97-121). Feeding the SAME draws
+    to our ``noise_table`` injection mode makes the SDE solvers exactly
+    comparable without torchsde."""
+
+    def __init__(self, draws):
+        self.draws, self.i = draws, 0
+
+    def __call__(self, sigma_from, sigma_to):
+        import torch
+
+        v = self.draws[self.i]
+        self.i += 1
+        return torch.from_numpy(v)
+
+
+def _sde_setup(betas, ref_samplers, steps):
+    import torch
+
+    _, _, RefEDM = ref_samplers
+    x_T, t_cond, _, j_cond = _conds()
+    ref = RefEDM(
+        betas, "eps", rescale_cfg=False, solver_type="edm_euler",
+        s_churn=0, s_tmin=0, s_tmax=300, s_noise=1, eta=1, order=4,
+    )
+    ref.make_schedule(steps)
+    den = ref.convert_to_denoiser(TorchMock(), t_cond, None, 1.0)
+    sigmas_t = ref.sigmas
+    x0 = torch.from_numpy(x_T) * torch.sqrt(1.0 + sigmas_t[0] ** 2)
+    return x_T, j_cond, den, sigmas_t, x0
+
+
+@pytest.mark.parametrize("solver,draws_per_step", [
+    ("edm_dpm++_2m_sde", 1),
+    ("edm_dpm++_3m_sde", 1),
+    ("edm_dpm++_sde", 2),
+])
+def test_sde_exact_trajectory_parity(betas, ref_samplers, solver, draws_per_step):
+    """Exact-trajectory parity for the SDE solvers at eta=1: both sides
+    consume identical injected normals, so drift AND diffusion math must
+    match (reference k_diffusion.py:548-707)."""
+    import torch
+
+    import diffbir.sampler.k_diffusion as kd
+
+    steps = 8
+    x_T, j_cond, den, sigmas_t, x0 = _sde_setup(betas, ref_samplers, steps)
+    rng = np.random.default_rng(7)
+    n_calls = draws_per_step * (steps - 1)
+    draws = rng.standard_normal((n_calls, 1, 4, 8, 8)).astype(np.float32)
+    fake = _SeqNoise(draws)
+
+    kd_fn = {
+        "edm_dpm++_2m_sde": kd.sample_dpmpp_2m_sde,
+        "edm_dpm++_3m_sde": kd.sample_dpmpp_3m_sde,
+        "edm_dpm++_sde": kd.sample_dpmpp_sde,
+    }[solver]
+    with torch.no_grad():
+        theirs = kd_fn(
+            den, x0, sigmas_t, eta=1.0, s_noise=1.0,
+            noise_sampler=fake, disable=True,
+        ).numpy()
+    assert fake.i == n_calls  # call-order assumption holds
+
+    # our injection table, NHWC; final row(s) are multiplied by zero
+    nhwc = draws.transpose(0, 1, 3, 4, 2)
+    if draws_per_step == 1:
+        table = np.zeros((steps, 1, 8, 8, 4), np.float32)
+        table[: steps - 1] = nhwc
+    else:
+        table = np.zeros((steps, 2, 1, 8, 8, 4), np.float32)
+        table[: steps - 1] = nhwc.reshape(steps - 1, 2, 1, 8, 8, 4)
+
+    from diffbir_tpu.sampler.edm import EDMSampler
+
+    ours = EDMSampler(
+        betas, "eps", rescale_cfg=False, solver_type=solver,
+        eta=1.0, s_noise=1.0,
+    ).sample(
+        jax_model_fn, jnp.asarray(x_T.transpose(0, 2, 3, 1)), j_cond, None,
+        1.0, steps, jax.random.PRNGKey(0), noise_table=jnp.asarray(table),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.transpose(0, 2, 3, 1), atol=2e-4, rtol=2e-4
+    )
