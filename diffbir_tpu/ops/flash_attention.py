@@ -139,6 +139,17 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *rest, sm_scale, kv_len, masked,
             lse_ref[0] = m_ref[:] + jnp.log(jnp.where(l == 0.0, 1.0, l))
 
 
+def _fwd_layout() -> str:
+    import os
+
+    # "packed": kernel reads/writes the model's native [B,S,H*D] layout via
+    # per-head static lane slices inside the kernel — no fold/unfold
+    # transposes (q,k,v,o ~21 MB of pure layout HBM traffic per 4096-token
+    # site with the folded path) and k/v tiles are fetched once for ALL
+    # heads. "folded": transpose to [B*H,S,D] first (round-1/2 behavior).
+    return os.environ.get("DIFFBIR_TPU_FLASH_LAYOUT", "folded")
+
+
 @jax.custom_vjp
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """q [B,Sq,H,D]; k,v [B,Skv,H,D] -> [B,Sq,H,D]. Forward = Pallas kernel;
@@ -147,6 +158,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     differentiated the XLA formulation, materializing fp32 [Sq,Skv] tensors;
     at 4096 tokens that is 671 MB/layer of round-trips in the train step).
     DIFFBIR_TPU_FLASH_BWD=xla restores the old recompute path."""
+    if _fwd_layout() == "packed":
+        return _flash_attention_impl_packed(q, k, v, exp_bf16=_exp_bf16())
     return _flash_attention_impl(q, k, v, exp_bf16=_exp_bf16())
 
 
@@ -177,6 +190,144 @@ def _flash_bwd(res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# packed-layout forward: [B, S, H*D] blocks, per-head static lane slices
+#
+# The folded path spends real HBM on layout: transpose q,k,v to [B*H,S,D]
+# before the kernel and o back after it (~21 MB per 4096-token site at CFG
+# batch 2), and its (bh, qi, ki) grid re-fetches k/v tiles once PER HEAD.
+# Here the kernel consumes the projection's native packed layout directly:
+# one (bq, H*D) q tile and one (bk, H*D) k/v tile per grid step serve all
+# heads via static lane slices (Mosaic lowers the d=64 offsets to vreg
+# shifts — cheap next to the per-head MXU dots). Per-head running max/sum
+# live side-by-side in lane-aligned 128-wide scratch stripes.
+# --------------------------------------------------------------------------- #
+def _packed_block_sizes(sq: int, skv: int):
+    import os
+
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_PACKED_BQ", 1024))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_PACKED_BK", 1024))
+    skv128 = ((skv + 127) // 128) * 128  # short-kv (77-token) -> one 128 block
+    return min(bq, sq), min(bk, skv128)
+
+
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                   sm_scale, kv_len, masked, heads, dim, exp_bf16):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qt, kt, vt = q_ref[0], k_ref[0], v_ref[0]
+    prec = (jax.lax.Precision.DEFAULT if qt.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    if qt.dtype == jnp.bfloat16:
+        # scale q once per tile (bq x H*D elements) instead of every logit
+        # (heads x bq x bk): one bf16 rounding of q*scale, inside the
+        # kernel's existing bf16 tolerance.
+        qt = (qt.astype(jnp.float32) * sm_scale).astype(qt.dtype)
+        s_scale = 1.0
+    else:
+        s_scale = sm_scale  # fp32 path stays bit-identical to the folded one
+    col = None
+    if masked:
+        bk = kt.shape[0]
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (qt.shape[0], bk), 1) + ki * bk
+
+    for hh in range(heads):
+        hd = slice(hh * dim, (hh + 1) * dim)
+        hl = slice(hh * 128, (hh + 1) * 128)
+        s = jax.lax.dot_general(
+            qt[:, hd], kt[:, hd], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if s_scale != 1.0:
+            s = s * s_scale
+        if masked:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m_prev = m_ref[:, hl]  # (BQ, 128) lane-replicated
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
+        if exp_bf16:
+            p = jnp.exp((s - m_next[:, :1]).astype(jnp.bfloat16))
+            l_new = l_ref[:, hl] * alpha + jnp.sum(
+                p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = jnp.exp(s - m_next[:, :1])
+            l_new = l_ref[:, hl] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        l_ref[:, hl] = l_new
+        m_ref[:, hl] = m_next
+        pv = jax.lax.dot(
+            p.astype(vt.dtype), vt[:, hd], preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        acc_ref[:, hd] = acc_ref[:, hd] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        for hh in range(heads):
+            hd = slice(hh * dim, (hh + 1) * dim)
+            l = l_ref[:, hh * 128: hh * 128 + 1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, :, hd] = (acc_ref[:, hd] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exp_bf16"))
+def _flash_attention_impl_packed(
+    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False,
+    exp_bf16: bool = False,
+):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    sm_scale = d ** -0.5
+    bq, bk = _packed_block_sizes(sq, skv)
+    if sq % bq:
+        return _flash_attention_impl(q, k, v, interpret=interpret,
+                                     exp_bf16=exp_bf16)
+
+    qp = q.reshape(b, sq, h * d)
+    kp = k.reshape(b, skv, h * d)
+    vp = v.reshape(b, skv, h * d)
+    pad = (-skv) % bk
+    if pad:
+        kp = jnp.pad(kp, ((0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, pad), (0, 0)))
+    nq, nk = sq // bq, (skv + pad) // bk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, sm_scale=sm_scale, kv_len=skv,
+                          masked=pad != 0, heads=h, dim=d, exp_bf16=exp_bf16),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        grid=(b, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, h * d), lambda bi, qi, ki: (bi, qi, 0)),
+            pl.BlockSpec((1, bk, h * d), lambda bi, qi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, bk, h * d), lambda bi, qi, ki: (bi, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, h * d), lambda bi, qi, ki: (bi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128 * h), jnp.float32),  # per-head running max
+            pltpu.VMEM((bq, 128 * h), jnp.float32),  # per-head running sum
+            pltpu.VMEM((bq, h * d), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the per-head fp32 s/p temporaries plus the packed acc and the
+            # lane-striped m/l scratch sit well above the 16 MB default at
+            # the (1024, 1024, H=20) widest site; v5e has 128 MB physical.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, sq, h, d)
 
 
 # --------------------------------------------------------------------------- #

@@ -48,6 +48,19 @@ def main():
         q = z((2, seq, heads, 64))
         check(f"flash_fwd seq={seq}", fa.flash_attention, q, q, q)
 
+    # packed [B,S,H*D] forward: all SD2.1 self-attn sites + 77-token cross
+    for seq, skv, heads in (
+        (4096, 4096, 5), (1024, 1024, 10), (256, 256, 20),
+        (4096, 77, 5), (1024, 77, 10), (256, 77, 20),
+    ):
+        q = z((2, seq, heads, 64))
+        kv = z((2, skv, heads, 64))
+        check(
+            f"flash_fwd_packed seq={seq} skv={skv}",
+            lambda a, b, c: fa._flash_attention_impl_packed(a, b, c),
+            q, kv, kv,
+        )
+
     # ---- flash attention backward (training shapes) ----
     def bwd(q, k, v):
         f = lambda a, b, c: jnp.sum(fa.flash_attention(a, b, c).astype(jnp.float32))

@@ -125,6 +125,33 @@ def main():
         no_attn = time_step(cldm, params, "attention -> passthrough")
     print(f"{'-> attention share':42s} {(full - no_attn) * 1e3:8.2f} ms")
 
+    real_attn = unet_mod.attention
+
+    def self_pass(q, k, v, mask=None, bias=None, impl=None):
+        if k.shape[1] == q.shape[1]:  # self-attention stubbed, cross real
+            return attn_v(q, k, v)
+        return real_attn(q, k, v, mask=mask, bias=bias, impl=impl)
+
+    def cross_pass(q, k, v, mask=None, bias=None, impl=None):
+        if k.shape[1] != q.shape[1]:  # cross-attention stubbed, self real
+            return attn_v(q, k, v)
+        return real_attn(q, k, v, mask=mask, bias=bias, impl=impl)
+
+    with patched(unet_mod, "attention", self_pass):
+        no_self = time_step(cldm, params, "self-attn -> passthrough")
+    print(f"{'-> self-attn share':42s} {(full - no_self) * 1e3:8.2f} ms")
+
+    with patched(unet_mod, "attention", cross_pass):
+        no_cross = time_step(cldm, params, "cross-attn -> passthrough")
+    print(f"{'-> cross-attn share':42s} {(full - no_cross) * 1e3:8.2f} ms")
+
+    def attn_xla(q, k, v, mask=None, bias=None, impl=None):
+        return real_attn(q, k, v, mask=mask, bias=bias, impl="xla")
+
+    with patched(unet_mod, "attention", attn_xla):
+        all_xla = time_step(cldm, params, "attention impl=xla (no flash)")
+    print(f"{'-> flash-dispatch win':42s} {(all_xla - full) * 1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -7,7 +7,12 @@ import jax
 import jax.numpy as jnp
 
 from diffbir_tpu.ops.attention import xla_attention
-from diffbir_tpu.ops.flash_attention import _flash_attention_impl, flash_attention, supported
+from diffbir_tpu.ops.flash_attention import (
+    _flash_attention_impl,
+    _flash_attention_impl_packed,
+    flash_attention,
+    supported,
+)
 
 
 @pytest.mark.parametrize("sq,skv", [(256, 256), (256, 77)])
@@ -19,6 +24,35 @@ def test_flash_matches_xla(sq, skv):
     ref = xla_attention(q, kk, v)
     out = _flash_attention_impl(q, kk, v, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sq,skv,h", [(256, 256, 2), (256, 77, 3), (512, 512, 5)])
+def test_flash_packed_matches_xla(sq, skv, h):
+    """Packed [B,S,H*D] kernel (per-head lane slices) vs XLA reference.
+
+    fp32 inputs keep the exact logit-scaling path, so tolerance matches the
+    folded kernel's."""
+    k = jax.random.PRNGKey(0)
+    q = jax.random.normal(k, (2, sq, h, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (2, skv, h, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, skv, h, 64), jnp.float32)
+    ref = xla_attention(q, kk, v)
+    out = _flash_attention_impl_packed(q, kk, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_packed_bf16_close():
+    """bf16 path pre-scales q in-kernel (one extra bf16 rounding)."""
+    k = jax.random.PRNGKey(0)
+    q = jax.random.normal(k, (1, 256, 2, 64), jnp.bfloat16)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 2, 64), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 2, 64), jnp.bfloat16)
+    ref = xla_attention(q.astype(jnp.float32), kk.astype(jnp.float32),
+                        v.astype(jnp.float32))
+    out = _flash_attention_impl_packed(q, kk, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
 
 
 def test_flash_gradient_via_custom_vjp():
