@@ -23,6 +23,29 @@ Differentiable via custom VJP (Pallas forward + XLA-math backward — the fused
 forward acts as remat; int8 weight mode stays serving-only). Dispatch falls
 back to XLA (same math, one jitted graph) off-TPU or when the block's VMEM
 footprint (big concat-skip channels) exceeds the budget.
+
+DEAD-END ANALYSIS (round 4, status: OPT-IN ONLY — e2e loss on hardware).
+Measured on the chip across two independent sessions: e2e 512x512 50-step
+latency with the fused kernel is 1.463 s (r3, TPU_RUNBOOK_r3.json) and
+1.398 s (r4, TPU_RUNBOOK_r4.json) vs 1.291 s exact — a ~2.1-3.4 ms/step
+regression — even though the summed per-site microbench predicts a ~3.4
+ms/step WIN (17.42 vs 20.81 ms, scripts/bench_fused_resblock.py). The gap
+is a kernel-boundary effect, not kernel-internal cost: (a) a pallas_call is
+an optimization barrier, so the neighbors XLA used to fuse into the
+ResBlock's first GN read and last conv write (timestep-emb broadcast, skip
+adds, the next block's GN stats pass) become separate HBM round-trips that
+the microbench — which times the block in isolation against an equally
+isolated XLA block — cannot see; (b) per-site win ratios are session-noisy
+(the (1280,1280,64) site swung x1.63 -> x0.59 same-day, see the dispatch
+table note below), so the table picks sites by noise; (c) at batch 2 the
+grid is 2 programs, leaving the core under-occupied while XLA pipelines
+adjacent ops. Conclusion: block-level fusion of conv-bearing blocks does
+NOT pay on this model at these shapes; the win the microbench shows is
+real only for the block in isolation. The kernel stays for (i) the int8
+conv path, (ii) shapes/batches where occupancy changes the balance, but it
+is demoted from the bench matrix and must never become the default without
+a fresh two-session e2e win. Root-cause bisect (single-best-site-only
+config) is queued in the r4 runbook to close candidate (b) vs (a).
 """
 
 from __future__ import annotations
@@ -342,12 +365,16 @@ _MIN_HW = int(os.environ.get("DIFFBIR_TPU_FUSED_MIN_HW", 0))
 # decoder-concat sites win, channel-widening and mid-grid 16x16 sites lose),
 # so measured sites dispatch from this table; unmeasured shapes fall back to
 # the VMEM/MIN_HW heuristic above.
-# CAVEAT (measured 2026-08-18): dispatching every >=1.05x site made the
-# END-TO-END 50-step bench SLOWER (1.456 s vs 1.291 s exact) — isolated
+# CAVEAT (measured 2026-08-18 + re-confirmed 2026-08-19): dispatching every
+# >=1.05x site made the END-TO-END 50-step bench SLOWER in two independent
+# sessions (1.456-1.463 s r3, 1.398 s r4, vs 1.291 s exact) — isolated
 # per-site wins don't survive graph context (Pallas call boundaries break
-# XLA's surrounding fusions). DIFFBIR_TPU_FUSED_MIN_WIN (default 1.05)
-# raises the bar so only sites whose measured win exceeds it dispatch;
-# sweep it e2e before trusting any default flip.
+# XLA's surrounding fusions); see the module-header dead-end analysis.
+# DIFFBIR_TPU_FUSED_MIN_WIN default 1.05 therefore equals the
+# every-winner config, which IS the measured e2e-loss config: fused mode
+# remains a net e2e loss at the default threshold and is opt-in only.
+# Raising MIN_WIN (e.g. 1.4) dispatches only the large-margin sites — the
+# r4 runbook bisect measures whether ANY subset wins e2e.
 # DIFFBIR_TPU_FUSED_TABLE=0 disables the table (the microbench sets it to
 # force kernel attempts at every site).
 # Ratios from the 23:34 session (same tunnel session as the e2e headline).
