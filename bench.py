@@ -71,6 +71,8 @@ def main():
     )
     tokens = jnp.zeros((1, 77), jnp.int32)
 
+    hoist = os.environ.get("DIFFBIR_TPU_HOIST", "1") == "1"
+
     def make_restore(model):
         def restore(params, sp, lq, pos_tok, neg_tok, rng):
             cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
@@ -79,8 +81,18 @@ def main():
             rng, k1, k2 = jax.random.split(rng, 3)
             x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
 
-            def model_fn(x, t, c):
-                return model(params, x, t, c, control_scales=1.0)
+            if hoist:
+                # scan-invariant hoisting (exact math; pipeline.py default):
+                # context k/v once per prompt + temb tables for the t-grid
+                ctx_full = jnp.concatenate(
+                    [cond["c_txt"], uncond["c_txt"]], axis=0
+                )
+                model_fn = model.hoisted_model_fn(
+                    params, ctx_full, sampler.model_ts(STEPS)
+                )
+            else:
+                def model_fn(x, t, c):
+                    return model(params, x, t, c, control_scales=1.0)
 
             z = sampler.sample(model_fn, x_T, cond, uncond, CFG, STEPS, k2)
             x = model.vae_decode(params, z)
@@ -149,6 +161,7 @@ def main():
         "unit": "s/image",
         "vs_baseline": round(BASELINE_S / p50, 3),
         "mode": mode,
+        "hoist": hoist,
     }))
 
 

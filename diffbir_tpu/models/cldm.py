@@ -114,16 +114,30 @@ class ControlLDM:
         t: jax.Array,
         cond: Mapping[str, jax.Array],
         control_scales: Any = 1.0,
+        hoisted: Optional[Mapping[str, Any]] = None,
     ) -> jax.Array:
-        """ControlNet -> scaled residuals -> controlled UNet (cldm.py:160-172)."""
+        """ControlNet -> scaled residuals -> controlled UNet (cldm.py:160-172).
+
+        ``hoisted``: optional {"unet": tree, "controlnet": tree} of
+        loop-invariant values precomputed OUTSIDE the denoise scan
+        (cross-attention context k/v, per-step temb projections — see
+        hoist_context_kv / hoist_emb_tables). Exact math, fewer HBM reads
+        per step."""
+        cn_vars = params["controlnet"]
+        unet_vars = params["unet"]
+        if hoisted is not None:
+            if hoisted.get("controlnet"):
+                cn_vars = {**cn_vars, "hoisted": hoisted["controlnet"]}
+            if hoisted.get("unet"):
+                unet_vars = {**unet_vars, "hoisted": hoisted["unet"]}
         control = self.controlnet.apply(
-            params["controlnet"], x_noisy, cond["c_img"], t, cond["c_txt"]
+            cn_vars, x_noisy, cond["c_img"], t, cond["c_txt"]
         )
         if isinstance(control_scales, (int, float)):
             control_scales = (float(control_scales),) * len(control)
         control = tuple(c * s for c, s in zip(control, control_scales))
         return self.unet.apply(
-            params["unet"], x_noisy, t, cond["c_txt"], control=control
+            unet_vars, x_noisy, t, cond["c_txt"], control=control
         )
 
     def vae_encode(
@@ -324,6 +338,96 @@ class ControlLDM:
         return {**params, "controlnet": filled}
 
     # ------------------------------------------------------------------ #
+    # denoise-scan invariant hoisting (exact math, fewer HBM reads/step)
+    # ------------------------------------------------------------------ #
+    def hoist_context_kv(self, params: Params, c_txt: jax.Array):
+        """Precompute every cross-attention site's k/v projection of the
+        prompt context, once per prompt instead of once per denoise step.
+
+        The context never changes across the scan, but XLA's while-loop
+        LICM does not hoist dot ops out of the loop body (verified on
+        compiled HLO), so each of the ~14 cross-attn sites re-read its
+        ~1-5 MB kv kernels and re-ran the projection all 50 steps.
+
+        ``c_txt`` must be EXACTLY the context tensor the model will see —
+        i.e. the CFG-concatenated [2B, 77, 1024] under batched CFG. The
+        math mirrors CrossAttention._fused_proj bit-for-bit (same concat,
+        same casts; test_hoist.py checks against a primed forward).
+
+        Returns {"unet": tree, "controlnet": tree} for the ``hoisted``
+        kwarg of __call__ (partial flax variable collections)."""
+        return {
+            "unet": _hoist_kv_walk(
+                params["unet"]["params"], c_txt, self.unet.dtype
+            ),
+            "controlnet": _hoist_kv_walk(
+                params["controlnet"]["params"], c_txt, self.controlnet.dtype
+            ),
+        }
+
+    def hoist_emb_tables(self, params: Params, model_ts) -> Any:
+        """Precompute every ResBlock's temb projection for ALL sampler
+        timesteps at once (the full t-grid is known before the scan).
+
+        Each of the ~40 ResBlock sites re-read its [1280, co] emb kernel
+        (~90 MB/step summed, bf16) and re-ran a tiny [B,1280] matmul every
+        step — all of it a pure function of t. Tables are [T, 1, co]
+        (rows are batch-identical since t is uniform across the batch);
+        the pipeline slices row searchsorted(ts, t) per step and the
+        ResBlock broadcasts over batch.
+
+        ``model_ts`` must be sorted ascending (pipeline sorts); the math
+        mirrors UNetModel's time_embed chain + ResBlock's emb_layers.1
+        exactly (dense/QuantDense casts included)."""
+        ts = jnp.asarray(model_ts, jnp.float32)
+        out = {}
+        for name, mod in (("unet", self.unet), ("controlnet", self.controlnet)):
+            tree = params[name]["params"]
+            emb = _emb_chain(tree, ts, mod.model_channels, mod.dtype)
+            out[name] = _hoist_emb_walk(tree, jax.nn.silu(emb), mod.dtype)
+        return out
+
+    def hoisted_model_fn(
+        self,
+        params: Params,
+        ctx_full: jax.Array,
+        model_ts=None,
+        control_scales: Any = 1.0,
+    ):
+        """Build a sampler ``model_fn`` with the denoise-scan invariants
+        precomputed (hoist_context_kv always; hoist_emb_tables when the
+        sampler publishes its t-grid via ``model_ts``). Shared by the
+        pipeline and bench.py so the hoist wiring exists exactly once.
+
+        ``ctx_full`` must be the context the model will actually see per
+        step — the CFG-concatenated [2B, 77, 1024] under batched CFG
+        (sampler/base.py::cfg_model_call concatenates [cond, uncond])."""
+        hoisted_kv = self.hoist_context_kv(params, ctx_full)
+        emb_tables = hoist_ts = None
+        if model_ts is not None:
+            ts_asc = np.unique(np.asarray(model_ts, np.float32))
+            emb_tables = self.hoist_emb_tables(params, ts_asc)
+            hoist_ts = jnp.asarray(ts_asc)
+
+        def model_fn(x, t, c):
+            hoisted = hoisted_kv
+            if emb_tables is not None:
+                idx = jnp.searchsorted(hoist_ts, t[0].astype(jnp.float32))
+                step_emb = jax.tree_util.tree_map(
+                    lambda tab: tab[idx], emb_tables
+                )
+                hoisted = {
+                    k: merge_hoisted(hoisted[k], step_emb[k])
+                    for k in hoisted
+                }
+            return self(
+                params, x, t, c, control_scales=control_scales,
+                hoisted=hoisted,
+            )
+
+        return model_fn
+
+    # ------------------------------------------------------------------ #
     def make_cached_control_model(
         self,
         params: Params,
@@ -440,6 +544,94 @@ class ControlLDM:
             jax.tree_util.tree_structure(params["controlnet"]), new
         )
         return {**params, "controlnet": cn}
+
+
+# --------------------------------------------------------------------------- #
+# hoist builders (params-tree walks mirroring the module math exactly)
+# --------------------------------------------------------------------------- #
+def _dense_math(node: Mapping[str, jax.Array], x: jax.Array, dtype) -> jax.Array:
+    """Replicates layers.dense (nn.Dense, param_dtype=f32, dtype=``dtype``)
+    and layers.QuantDense on a raw param node: promote-to-dtype matmul plus
+    bias. Must stay bit-identical to the module paths (test_hoist.py)."""
+    if "kernel_q" in node:
+        from ..ops.quant_matmul import quant_matmul
+
+        y = quant_matmul(x.astype(dtype), node["kernel_q"], node["scale"])
+    else:
+        y = x.astype(dtype) @ node["kernel"].astype(dtype)
+    if "bias" in node:
+        y = y + node["bias"].astype(y.dtype)
+    return y
+
+
+def _hoist_kv_walk(tree, c_txt: jax.Array, dtype):
+    """Emit {"<ResBlock-scope path>": {"attn2": {"kv": value}}} for every
+    cross-attention site; mirrors CrossAttention._fused_proj (concat the
+    fp32 kernels THEN cast, one matmul; int8 path via quant_matmul with
+    concatenated scales)."""
+    out = {}
+    for key, val in tree.items():
+        if not isinstance(val, dict):
+            continue
+        if key == "attn2" and "to_k" in val and "to_v" in val:
+            tk, tv = val["to_k"], val["to_v"]
+            if "kernel_q" in tk:
+                from ..ops.quant_matmul import quant_matmul
+
+                wq = jnp.concatenate([tk["kernel_q"], tv["kernel_q"]], axis=1)
+                sc = jnp.concatenate([tk["scale"], tv["scale"]], axis=0)
+                kv = quant_matmul(c_txt.astype(dtype), wq, sc)
+            else:
+                w = jnp.concatenate(
+                    [tk["kernel"], tv["kernel"]], axis=1
+                ).astype(dtype)
+                kv = c_txt.astype(dtype) @ w
+            out[key] = {"kv": kv}
+        else:
+            sub = _hoist_kv_walk(val, c_txt, dtype)
+            if sub:
+                out[key] = sub
+    return out
+
+
+def _emb_chain(tree, ts: jax.Array, model_channels: int, dtype) -> jax.Array:
+    """time_embed chain for a [T] timestep vector (unet.py __call__:
+    timestep_embedding -> time_embed.0 -> silu -> time_embed.2)."""
+    from .layers import timestep_embedding
+
+    t_emb = timestep_embedding(ts, model_channels)
+    emb = _dense_math(tree["time_embed.0"], t_emb, dtype)
+    emb = _dense_math(tree["time_embed.2"], jax.nn.silu(emb), dtype)
+    return emb.astype(dtype)
+
+
+def _hoist_emb_walk(tree, emb_silu: jax.Array, dtype):
+    """Emit {"<ResBlock scope>": {"emb_out": [T, 1, co]}} for every ResBlock
+    (any dict node holding an ``emb_layers.1`` param scope)."""
+    out = {}
+    for key, val in tree.items():
+        if not isinstance(val, dict):
+            continue
+        sub = _hoist_emb_walk(val, emb_silu, dtype)
+        if "emb_layers.1" in val and isinstance(val["emb_layers.1"], dict):
+            e = _dense_math(val["emb_layers.1"], emb_silu, dtype)  # [T, co]
+            sub = dict(sub)
+            sub["emb_out"] = e[:, None, :]
+        if sub:
+            out[key] = sub
+    return out
+
+
+def merge_hoisted(a, b):
+    """Deep-merge two partial ``hoisted`` collection trees (disjoint leaves:
+    kv lives under attn2 scopes, emb_out under ResBlock scopes)."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_hoisted(out[k], v)
+        else:
+            out[k] = v
+    return out
 
 
 # --------------------------------------------------------------------------- #

@@ -98,6 +98,27 @@ class ResBlock(nn.Module):
         co = self.out_channels
         if self.quant_conv and not self.fused:
             raise ValueError("quant_conv requires the fused ResBlock path")
+
+        def emb_out() -> jax.Array:
+            """emb projection, or its hoisted per-step value.
+
+            ``emb`` depends only on the timestep, and every sampler step's
+            timestep is known before the scan starts — so the pipeline can
+            precompute silu(emb) @ W_emb for ALL steps once
+            (cldm.hoist_emb_tables; XLA does not hoist/batch these ~40
+            small per-site matmuls itself) and pass the current step's
+            slice ([1, co], rows are batch-identical) via the "hoisted"
+            collection. Saves ~90 MB/step of emb-kernel HBM reads."""
+            if self.has_variable("hoisted", "emb_out"):
+                e = self.get_variable("hoisted", "emb_out")
+                return jnp.broadcast_to(e, (x.shape[0], co))
+            e = d(co, name="emb_layers.1")(nn.silu(emb))
+            if (self.is_mutable_collection("hoisted")
+                    and not self.is_initializing()):
+                # priming mode: record the exact value (test oracle for the
+                # params-walk hoist builders); init-guarded like the kv hook
+                self.put_variable("hoisted", "emb_out", e)
+            return e
         if self.fused:
             # Same param tree as the unfused branch (names/shapes/init match
             # the submodules), executed by one Pallas kernel per image.
@@ -107,7 +128,7 @@ class ResBlock(nn.Module):
             g1s, g1b = _GNParams(x.shape[-1], name="in_layers.0")()
             cp1 = _ConvParams((3, 3, x.shape[-1], co), quant=qc,
                               name="in_layers.2")()
-            e = d(co, name="emb_layers.1")(nn.silu(emb))
+            e = emb_out()
             g2s, g2b = _GNParams(co, name="out_layers.0")()
             cp2 = _ConvParams((3, 3, co, co), zero_init=True, quant=qc,
                               name="out_layers.3")()
@@ -128,7 +149,7 @@ class ResBlock(nn.Module):
         h = GroupNorm32(name="in_layers.0")(x)
         h = nn.silu(h)
         h = conv(co, 3, dtype=self.dtype, name="in_layers.2")(h)
-        e = d(co, name="emb_layers.1")(nn.silu(emb))
+        e = emb_out()
         h = h + e[:, None, None, :].astype(h.dtype)
         h = GroupNorm32(name="out_layers.0")(h)
         h = nn.silu(h)
@@ -204,7 +225,23 @@ class CrossAttention(nn.Module):
         else:
             # cross-attention: q reads x; k/v share one read of the context
             q = self._fused_proj(x, ("to_q",))
-            kv = self._fused_proj(context, ("to_k", "to_v"))
+            if self.has_variable("hoisted", "kv"):
+                # kv is loop-invariant across the denoise scan (the prompt
+                # context never changes), but XLA's while-loop LICM does not
+                # hoist dot ops out of the scan body (verified on the
+                # compiled HLO) — so the pipeline precomputes it once per
+                # prompt (cldm.hoist_context_kv) and passes it in via the
+                # "hoisted" variable collection.
+                kv = self.get_variable("hoisted", "kv")
+            else:
+                kv = self._fused_proj(context, ("to_k", "to_v"))
+                if (self.is_mutable_collection("hoisted")
+                        and not self.is_initializing()):
+                    # priming mode: record the exact value (test oracle for
+                    # the params-walk hoist builders). Guarded against init
+                    # (where EVERY collection is mutable) so the variable
+                    # tree from .init() never carries a stale cache.
+                    self.put_variable("hoisted", "kv", kv)
             k, v = jnp.split(kv, 2, axis=-1)
         b, sq, _ = q.shape
         skv = k.shape[1]

@@ -12,6 +12,7 @@ design:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -110,6 +111,15 @@ class Pipeline:
          vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
          cldm_tiles_per_batch, control_interval, turbo_encoder,
          _guidance_fp) = key
+        # scan-invariant hoisting (exact math; see base_model_fn below).
+        # Read at build time and folded into the cache key so an in-process
+        # env flip (bench A/B) can't serve a stale program.
+        hoist = (
+            os.environ.get("DIFFBIR_TPU_HOIST", "1") == "1"
+            and not cldm_tiled
+            and control_interval == 1
+        )
+        key = key + (hoist,)
         if key in self._generate_cache:
             return self._generate_cache[key]
 
@@ -178,8 +188,23 @@ class Pipeline:
                 if uncond is not None:
                     uncond = {**uncond, "c_img": c_img}
 
-            def base_model_fn(x, t, c):
-                return cldm(params, x, t, c, control_scales=strength)
+            # Hoist denoise-scan invariants (exact math): cross-attn context
+            # k/v once per prompt; per-step temb projections for the whole
+            # t-grid when the sampler publishes it. XLA's loop LICM does
+            # not do either (dots stay in the while body — verified HLO).
+            # DIFFBIR_TPU_HOIST=0 restores in-loop recompute for A/B.
+            if hoist:
+                ctx_full = (
+                    cond["c_txt"] if uncond is None
+                    else jnp.concatenate([cond["c_txt"], uncond["c_txt"]], axis=0)
+                )
+                base_model_fn = cldm.hoisted_model_fn(
+                    params, ctx_full, sampler.model_ts(steps),
+                    control_scales=strength,
+                )
+            else:
+                def base_model_fn(x, t, c):
+                    return cldm(params, x, t, c, control_scales=strength)
 
             if control_interval > 1 and cldm_tiled:
                 raise ValueError(

@@ -109,5 +109,14 @@ class Sampler:
             np.float32
         )
 
+    def model_ts(self, steps: int):
+        """The exact set of model-call timesteps ``sample(steps=...)`` will
+        use (with the pipeline's default kwargs), or None when unknown
+        (adaptive / sigma-continuous solvers). Enables the pipeline to
+        precompute per-step temb projections outside the denoise scan
+        (cldm.hoist_emb_tables). Returning a superset is fine; returning a
+        WRONG grid is not (the lookup is by exact value)."""
+        return None
+
     def sample(self, *args, **kwargs):  # pragma: no cover - interface
         raise NotImplementedError

@@ -30,6 +30,13 @@ class DDIMSampler(Sampler):
         super().__init__(betas, parameterization, rescale_cfg)
         self.eta = eta
 
+    def model_ts(self, steps: int):
+        # pipeline always calls sample() with the default discretize
+        ts, _, _, _ = make_ddim_params(
+            self.training_betas, steps, self.eta, "uniform"
+        )
+        return ts.astype(np.float32)
+
     def sample(
         self,
         model_fn: ModelFn,

@@ -26,6 +26,10 @@ from .base import (
 
 
 class SpacedSampler(Sampler):
+    def model_ts(self, steps: int):
+        c = make_spaced_coeffs(self.training_betas, steps)
+        return c.timesteps.astype(np.float32)
+
     def sample(
         self,
         model_fn: ModelFn,
