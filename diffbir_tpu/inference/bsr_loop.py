@@ -17,16 +17,21 @@ from ..models.bsrnet import RRDBNet
 from ..models.swinir import SwinIR
 from ..pipeline import BSRNetPipeline, SwinIRPipeline
 from ..weights.convert import fill_flax_params, load_torch_state_dict
-from .loop import InferenceLoop
+from .loop import InferenceLoop, random_init_requested
 from .pretrained_models import resolve_model
 
 
 def load_cleaner_params(model, ckpt_name, example_shape, dtype=jnp.bfloat16):
-    sd = load_torch_state_dict(resolve_model(ckpt_name))
-    shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0), jnp.zeros(example_shape, jnp.float32)
-    )
-    params, missing, _ = fill_flax_params(shapes, sd, strict=True)
+    if random_init_requested():
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros(example_shape, jnp.float32)
+        )
+    else:
+        sd = load_torch_state_dict(resolve_model(ckpt_name))
+        shapes = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros(example_shape, jnp.float32)
+        )
+        params, missing, _ = fill_flax_params(shapes, sd, strict=True)
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(x, dtype) if np.asarray(x).dtype == np.float32 else jnp.asarray(x),
         params,

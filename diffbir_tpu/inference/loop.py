@@ -27,6 +27,16 @@ from ..weights.convert import load_torch_state_dict
 from .pretrained_models import resolve_model
 
 
+def random_init_requested() -> bool:
+    """DIFFBIR_TPU_RANDOM_INIT=1 runs the REAL CLI path (loops -> pipeline ->
+    sampler -> PNG/prompt.csv) with random-init weights instead of
+    checkpoints. Purpose: exercising the full harness (e.g. the real47
+    fidelity gate, scripts/fidelity_gate.py --dryrun) in environments where
+    the reference checkpoints haven't landed yet — outputs are garbage, the
+    code path is the production one."""
+    return os.environ.get("DIFFBIR_TPU_RANDOM_INIT") == "1"
+
+
 def make_schedule_for_version(version: str) -> Schedule:
     """diffusion.yaml (v1/v2: eps) vs diffusion_v2.1.yaml (zsnr + v)."""
     if version in ("v1", "v2"):
@@ -71,22 +81,27 @@ class InferenceLoop:
         # after surgery + casting
         load_cldm = (ControlLDM.sd21(dtype=dtype) if quant or qconv
                      else self.cldm)
-        shapes = load_cldm.eval_shapes((64, 64))
-        sd_key = "sd_v2.1_zsnr" if self.args.version == "v2.1" else "sd_v2.1"
-        sd = load_torch_state_dict(resolve_model(sd_key))
-        params = load_cldm.load_pretrained_sd(shapes, sd)
-        if self.args.version == "v1":
-            cn_key = {"face": "v1_face", "sr": "v1_general", "denoise": "v1_general"}.get(
-                self.args.task
+        if random_init_requested():
+            params = jax.jit(load_cldm.init_params, static_argnums=1)(
+                jax.random.PRNGKey(getattr(self.args, "seed", 0)), (64, 64)
             )
-            if cn_key is None:
-                raise ValueError(f"DiffBIR v1 doesn't support task: {self.args.task}")
-        elif self.args.version == "v2":
-            cn_key = "v2"
         else:
-            cn_key = "v2.1"
-        cn_sd = load_torch_state_dict(resolve_model(cn_key))
-        params = load_cldm.load_controlnet_from_ckpt(params, cn_sd)
+            shapes = load_cldm.eval_shapes((64, 64))
+            sd_key = "sd_v2.1_zsnr" if self.args.version == "v2.1" else "sd_v2.1"
+            sd = load_torch_state_dict(resolve_model(sd_key))
+            params = load_cldm.load_pretrained_sd(shapes, sd)
+            if self.args.version == "v1":
+                cn_key = {"face": "v1_face", "sr": "v1_general", "denoise": "v1_general"}.get(
+                    self.args.task
+                )
+                if cn_key is None:
+                    raise ValueError(f"DiffBIR v1 doesn't support task: {self.args.task}")
+            elif self.args.version == "v2":
+                cn_key = "v2"
+            else:
+                cn_key = "v2.1"
+            cn_sd = load_torch_state_dict(resolve_model(cn_key))
+            params = load_cldm.load_controlnet_from_ckpt(params, cn_sd)
         # cast to compute dtype (bf16 in production) and ship to device
         if dtype == jnp.bfloat16:
             params = jax.tree_util.tree_map(
@@ -213,6 +228,7 @@ class InferenceLoop:
                 cldm_tiles_per_batch=getattr(self.args, "cldm_tiles_per_batch", 1),
                 control_interval=getattr(self.args, "control_interval", 1),
                 turbo_encoder=getattr(self.args, "turbo_encoder", False),
+                size_bucket=getattr(self.args, "size_bucket", 0),
                 # advance the seed per chunk so n_samples > batch_size yields
                 # distinct samples (torch's global RNG advances implicitly)
                 seed=self.args.seed + seed_offset,

@@ -69,6 +69,12 @@ def parse_args() -> Namespace:
     p.add_argument("--cldm_tiled", action="store_true")
     p.add_argument("--cldm_tile_size", type=int, default=512)
     p.add_argument("--cldm_tile_stride", type=int, default=256)
+    p.add_argument("--size_bucket", type=int, default=0,
+                   help="pad inputs (reflect) up to multiples of this many "
+                   "pixels before the cleaner and crop the output back — "
+                   "bounds the number of distinct XLA programs when serving "
+                   "arbitrary resolutions (TPU static-shape bucketing); 0 "
+                   "preserves the reference's exact x64 padding")
     p.add_argument("--cldm_tiles_per_batch", type=int, default=1,
                    help="diffusion tiles batched per model call (MXU "
                         "utilization knob for the tiled path)")

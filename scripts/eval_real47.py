@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--cfg_scale", type=float, default=4.0)
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=231)
+    ap.add_argument("--size_bucket", type=int, default=0,
+                    help="static-shape bucketing (pad to multiples of N px, "
+                    "crop back); bounds compile count over the 25 distinct "
+                    "real47 shapes — use 0 (exact x64) for the fidelity "
+                    "verdict, 512 for harness dry-runs")
     args = ap.parse_args()  # strict: a typo'd flag must not silently run defaults
 
     from argparse import Namespace
@@ -47,6 +52,7 @@ def main():
         cfg_scale=args.cfg_scale, strength=1.0, start_point_type="noise",
         sampler=args.sampler, noise_aug=0, rescale_cfg=False,
         cleaner_tiled=False, cleaner_tile_size=512, cleaner_tile_stride=256,
+        size_bucket=args.size_bucket,
     )
     loop = BSRInferenceLoop(loop_args)
     loop.run()

@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--images", type=int, default=2)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny models (CPU smoke; numbers not meaningful)")
     args = ap.parse_args()
 
     schedule = Schedule.create(
@@ -56,19 +58,27 @@ def main():
         linear_end=0.0120, parameterization="v", zero_snr=True,
     )
     sampler = SpacedSampler(schedule.betas, "v", rescale_cfg=False)
-    swin = SwinIR.tiny_sr()
+    if args.tiny:
+        # CPU smoke path: proves the script end-to-end without a chip
+        swin = SwinIR(embed_dim=24, depths=(2,), num_heads=(4,),
+                      window_size=4, mlp_ratio=2.0, sf=8, unshuffle=True,
+                      unshuffle_scale=8, dtype=jnp.bfloat16)
+    else:
+        # full-size x1 cleaner, same protocol as turbo_quality.py
+        swin = SwinIR(dtype=jnp.bfloat16)
 
     def bf(tree):
         return jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, tree
         )
 
-    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
-    qcldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=True)
-    ccldm = ControlLDM.sd21(dtype=jnp.bfloat16, fused_resblock=True,
-                            quant_conv=True)
-    acldm = ControlLDM.sd21(dtype=jnp.bfloat16, quant_dense=True,
-                            fused_resblock=True, quant_conv=True)
+    mk = ControlLDM.tiny if args.tiny else ControlLDM.sd21
+    cldm = mk(dtype=jnp.bfloat16)
+    qcldm = mk(dtype=jnp.bfloat16, quant_dense=True)
+    ccldm = mk(dtype=jnp.bfloat16, fused_resblock=True,
+               quant_conv=True)
+    acldm = mk(dtype=jnp.bfloat16, quant_dense=True,
+               fused_resblock=True, quant_conv=True)
     lat = (args.size // 8, args.size // 8)
     params = bf(jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), lat))
 
@@ -131,7 +141,9 @@ def main():
         "protocol": {
             "size": args.size, "steps": args.steps, "sampler": "spaced",
             "cfg": 4.0, "images": args.images,
-            "weights": "random-init sd21 (refresh with real checkpoints)",
+            "weights": ("random-init TINY smoke (numbers not meaningful)"
+                        if args.tiny
+                        else "random-init sd21 (refresh with real checkpoints)"),
             "note": "PSNR/SSIM of each quant serving mode vs the bf16 "
                     "output, same seed/x_T; int8=dense sites, "
                     "int8conv=fused-ResBlock convs, int8all=both",
@@ -152,9 +164,10 @@ def main():
         report[f"{tag}_ssim_vs_bf16"] = round(float(np.mean(ss)), 4)
         report[f"{tag}_warm_s"] = round(times[-1], 3)
     print(json.dumps(report))
-    with open(os.path.join(REPO, "QUANT_QUALITY.json"), "w") as f:
+    name = "QUANT_QUALITY_SMOKE.json" if args.tiny else "QUANT_QUALITY.json"
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(report, f, indent=2)
-    print("wrote QUANT_QUALITY.json")
+    print(f"wrote {name}")
 
 
 if __name__ == "__main__":

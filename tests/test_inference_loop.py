@@ -116,3 +116,46 @@ def test_loop_batched_samples(tmp_path):
     a = np.array(Image.open(out_dir / "img_0.png"))
     c = np.array(Image.open(out_dir / "img_2.png"))
     assert np.any(a != c)
+
+
+def test_random_init_real_cli_path(tmp_path, monkeypatch):
+    """DIFFBIR_TPU_RANDOM_INIT=1 exercises the REAL task loop (BSR) without
+    any checkpoint files — the path scripts/fidelity_gate.py --dryrun takes.
+    Tiny model classes are substituted; the loader/pipeline/save plumbing is
+    the production one."""
+    from diffbir_tpu.inference import bsr_loop as bl
+    from diffbir_tpu.models.swinir import SwinIR
+
+    monkeypatch.setenv("DIFFBIR_TPU_RANDOM_INIT", "1")
+    monkeypatch.setattr(
+        ControlLDM, "sd21",
+        classmethod(lambda cls, dtype=jnp.float32, **kw: cls.tiny(dtype=dtype)),
+    )
+    monkeypatch.setattr(
+        bl, "SwinIR",
+        lambda dtype: SwinIR(embed_dim=24, depths=(2,), num_heads=(4,),
+                             window_size=4, mlp_ratio=2.0, sf=8,
+                             unshuffle=True, unshuffle_scale=8, dtype=dtype),
+    )
+
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    g = np.random.default_rng(2)
+    Image.fromarray((g.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+        in_dir / "lq.png"
+    )
+    args = Namespace(
+        input=str(in_dir), output=str(out_dir), n_samples=1, steps=2,
+        strength=1.0, pos_prompt="", neg_prompt="bad", cfg_scale=1.5,
+        start_point_type="noise", sampler="spaced", noise_aug=0,
+        rescale_cfg=False, cleaner_tiled=False, cleaner_tile_size=512,
+        cleaner_tile_stride=256, seed=3, captioner="none", guidance=False,
+        version="v2.1", task="sr", upscale=1.0, precision="fp32",
+    )
+    loop = bl.BSRInferenceLoop(args)
+    loop.run()
+    outs = sorted(os.listdir(out_dir))
+    assert "lq.png" in outs and "prompt.csv" in outs
+    img = np.array(Image.open(out_dir / "lq.png"))
+    assert img.shape == (64, 64, 3)
