@@ -387,17 +387,16 @@ class ControlLDM:
             out[name] = _hoist_emb_walk(tree, jax.nn.silu(emb), mod.dtype)
         return out
 
-    def hoisted_model_fn(
+    def make_hoist_lookup(
         self,
         params: Params,
         ctx_full: jax.Array,
         model_ts=None,
-        control_scales: Any = 1.0,
     ):
-        """Build a sampler ``model_fn`` with the denoise-scan invariants
-        precomputed (hoist_context_kv always; hoist_emb_tables when the
-        sampler publishes its t-grid via ``model_ts``). Shared by the
-        pipeline and bench.py so the hoist wiring exists exactly once.
+        """Precompute the denoise-scan invariants (hoist_context_kv always;
+        hoist_emb_tables when the sampler publishes its t-grid) and return
+        ``lookup(t) -> {"unet": tree, "controlnet": tree}`` resolving the
+        per-step hoisted collection for a [B] timestep vector.
 
         ``ctx_full`` must be the context the model will actually see per
         step — the CFG-concatenated [2B, 77, 1024] under batched CFG
@@ -409,7 +408,7 @@ class ControlLDM:
             emb_tables = self.hoist_emb_tables(params, ts_asc)
             hoist_ts = jnp.asarray(ts_asc)
 
-        def model_fn(x, t, c):
+        def lookup(t):
             hoisted = hoisted_kv
             if emb_tables is not None:
                 idx = jnp.searchsorted(hoist_ts, t[0].astype(jnp.float32))
@@ -420,9 +419,26 @@ class ControlLDM:
                     k: merge_hoisted(hoisted[k], step_emb[k])
                     for k in hoisted
                 }
+            return hoisted
+
+        return lookup
+
+    def hoisted_model_fn(
+        self,
+        params: Params,
+        ctx_full: jax.Array,
+        model_ts=None,
+        control_scales: Any = 1.0,
+    ):
+        """Build a sampler ``model_fn`` with the denoise-scan invariants
+        precomputed. Shared by the pipeline and bench.py so the hoist
+        wiring exists exactly once."""
+        lookup = self.make_hoist_lookup(params, ctx_full, model_ts)
+
+        def model_fn(x, t, c):
             return self(
                 params, x, t, c, control_scales=control_scales,
-                hoisted=hoisted,
+                hoisted=lookup(t),
             )
 
         return model_fn
@@ -436,6 +452,7 @@ class ControlLDM:
         latent_hw: Tuple[int, int],
         call_batch: int,
         cache_unet_encoder: bool = False,
+        hoist_lookup=None,
     ):
         """Turbo mode: recompute the ControlNet residuals only every
         ``interval`` denoise steps, reusing the cached 13 tensors in between
@@ -449,6 +466,10 @@ class ControlLDM:
 
         Returns a stateful model fn (``has_aux``) for the scan samplers.
         ``call_batch`` is the batch THE MODEL SEES (2B under batched CFG).
+
+        ``hoist_lookup`` (make_hoist_lookup): optional per-step resolver of
+        the scan-invariant 'hoisted' collection (context k/v + temb rows);
+        exact math, applied to both the refresh and cached branches.
         """
         h, w = latent_hw
         b = call_batch
@@ -479,16 +500,23 @@ class ControlLDM:
             return aux
 
         def model(x, t, c, aux):
+            cn_vars, unet_vars = params["controlnet"], params["unet"]
+            if hoist_lookup is not None:
+                hv = hoist_lookup(t)
+                if hv.get("controlnet"):
+                    cn_vars = {**cn_vars, "hoisted": hv["controlnet"]}
+                if hv.get("unet"):
+                    unet_vars = {**unet_vars, "hoisted": hv["unet"]}
             if cache_unet_encoder:
                 i, cached_ctrl, cached_enc = aux
                 control, enc = jax.lax.cond(
                     i % interval == 0,
                     lambda _: (
                         self.controlnet.apply(
-                            params["controlnet"], x, c["c_img"], t, c["c_txt"]
+                            cn_vars, x, c["c_img"], t, c["c_txt"]
                         ),
                         self.unet.apply(
-                            params["unet"], x, t, c["c_txt"], phase="encode"
+                            unet_vars, x, t, c["c_txt"], phase="encode"
                         ),
                     ),
                     lambda _: (cached_ctrl, cached_enc),
@@ -496,7 +524,7 @@ class ControlLDM:
                 )
                 scaled = tuple(ci * strength for ci in control)
                 out = self.unet.apply(
-                    params["unet"], x, t, c["c_txt"], control=scaled,
+                    unet_vars, x, t, c["c_txt"], control=scaled,
                     phase="decode", cached=enc,
                 )
                 return out, (i + 1, control, enc)
@@ -504,13 +532,13 @@ class ControlLDM:
             control = jax.lax.cond(
                 i % interval == 0,
                 lambda _: self.controlnet.apply(
-                    params["controlnet"], x, c["c_img"], t, c["c_txt"]
+                    cn_vars, x, c["c_img"], t, c["c_txt"]
                 ),
                 lambda _: cached,
                 None,
             )
             scaled = tuple(ci * strength for ci in control)
-            out = self.unet.apply(params["unet"], x, t, c["c_txt"], control=scaled)
+            out = self.unet.apply(unet_vars, x, t, c["c_txt"], control=scaled)
             return out, (i + 1, control)
 
         model.has_aux = True

@@ -114,10 +114,12 @@ class Pipeline:
         # scan-invariant hoisting (exact math; see base_model_fn below).
         # Read at build time and folded into the cache key so an in-process
         # env flip (bench A/B) can't serve a stale program.
+        # Disabled only for the tiled path: make_tiled_fn re-batches the
+        # context per tile group ([2B*k, 77, 1024], k varies on remainder
+        # groups) so a single precomputed kv doesn't match the call batch.
         hoist = (
             os.environ.get("DIFFBIR_TPU_HOIST", "1") == "1"
             and not cldm_tiled
-            and control_interval == 1
         )
         key = key + (hoist,)
         if key in self._generate_cache:
@@ -193,15 +195,21 @@ class Pipeline:
             # t-grid when the sampler publishes it. XLA's loop LICM does
             # not do either (dots stay in the while body — verified HLO).
             # DIFFBIR_TPU_HOIST=0 restores in-loop recompute for A/B.
+            hoist_lookup = None
             if hoist:
                 ctx_full = (
                     cond["c_txt"] if uncond is None
                     else jnp.concatenate([cond["c_txt"], uncond["c_txt"]], axis=0)
                 )
-                base_model_fn = cldm.hoisted_model_fn(
-                    params, ctx_full, sampler.model_ts(steps),
-                    control_scales=strength,
+                hoist_lookup = cldm.make_hoist_lookup(
+                    params, ctx_full, sampler.model_ts(steps)
                 )
+
+                def base_model_fn(x, t, c):
+                    return cldm(
+                        params, x, t, c, control_scales=strength,
+                        hoisted=hoist_lookup(t),
+                    )
             else:
                 def base_model_fn(x, t, c):
                     return cldm(params, x, t, c, control_scales=strength)
@@ -227,6 +235,7 @@ class Pipeline:
                     params, strength, control_interval, (h2, w2),
                     call_batch=bs * (2 if use_cfg else 1),
                     cache_unet_encoder=turbo_encoder,
+                    hoist_lookup=hoist_lookup,
                 )
             elif cldm_tiled:
                 # per-step latent tiling with the hint sliced in sync

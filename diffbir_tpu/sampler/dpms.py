@@ -73,6 +73,35 @@ class DPMSolverSampler(Sampler):
         self.method = {"s": "singlestep", "m": "multistep"}[mo[0]]
         self.order = int(mo[1])
 
+    def model_ts(self, steps: int):
+        """All model-call timesteps (outer grid + singlestep inner points).
+        Superset-safe: hoist lookup is by exact value, and every value here
+        reproduces sample()'s own ``ns.model_t`` arithmetic bit-for-bit."""
+        ns = _DiscreteVPSchedule(self.training_betas)
+        t_T, t_0 = ns.T, 1.0 / ns.total_N
+        fine = np.linspace(t_T, t_0, steps + 1)
+        t_cont = list(fine)
+        if self.method == "singlestep":
+            orders = self._singlestep_orders(steps)
+            outer = fine[np.cumsum([0] + orders)]
+            for blk, o in enumerate(orders):
+                if o > 1:
+                    # _sample_singlestep: inner = np.linspace(s, t, o+1)
+                    inner = np.linspace(outer[blk], outer[blk + 1], o + 1)
+                    t_cont.extend(float(v) for v in inner[1:-1])
+        return np.asarray([ns.model_t(t) for t in t_cont], np.float32)
+
+    def _singlestep_orders(self, steps: int):
+        order = self.order
+        if order == 3:
+            K = steps // 3 + 1
+            return {0: [3] * (K - 2) + [2, 1], 1: [3] * (K - 1) + [1],
+                    2: [3] * (K - 1) + [2]}[steps % 3]
+        if order == 2:
+            K = steps // 2
+            return [2] * K if steps % 2 == 0 else [2] * K + [1]
+        return [1] * steps
+
     def sample(
         self,
         model_fn: ModelFn,
@@ -202,16 +231,7 @@ class DPMSolverSampler(Sampler):
     def _sample_singlestep(self, eval_model, ns, x_T, steps):
         """Singlestep DPM-Solver-fast: mixed-order blocks using all NFE
         (dpm_solver_pytorch.py:500-563, 610-812; 'dpmsolver' update type)."""
-        order = self.order
-        if order == 3:
-            K = steps // 3 + 1
-            orders = {0: [3] * (K - 2) + [2, 1], 1: [3] * (K - 1) + [1],
-                      2: [3] * (K - 1) + [2]}[steps % 3]
-        elif order == 2:
-            K = steps // 2
-            orders = [2] * K if steps % 2 == 0 else [2] * K + [1]
-        else:
-            orders = [1] * steps
+        orders = self._singlestep_orders(steps)
         t_T, t_0 = ns.T, 1.0 / ns.total_N
         fine = np.linspace(t_T, t_0, steps + 1)
         outer = fine[np.cumsum([0] + orders)]

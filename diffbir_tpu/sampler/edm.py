@@ -110,6 +110,15 @@ class EDMSampler(Sampler):
         """sigma -> nearest training timestep (edm_sampler.py:117-119)."""
         return float(ts[np.abs(sigma - sigmas).argmin()])
 
+    def model_ts(self, steps: int):
+        """Every model-call timestep is ``_model_t(...)`` of some sigma, and
+        ``_model_t`` always returns an element of make_schedule's ``ts`` grid
+        — so the grid itself is a safe superset for ALL edm solvers,
+        including the inner points of heun/dpm_2 and the adaptive solver
+        (whose traced ``_model_t_traced`` also selects from ``ts_j``)."""
+        _, ts = self.make_schedule(steps)
+        return np.asarray(ts, np.float32)
+
     # ------------------------------------------------------------------ #
     def sample(
         self,

@@ -140,7 +140,11 @@ def test_spaced_model_ts_matches_scan_grid():
     assert set(used.tolist()) <= set(np.asarray(ts, np.float32).tolist())
 
 
-@pytest.mark.parametrize("sampler_type,n_steps", [("spaced", 3), ("ddim", 5)])
+@pytest.mark.parametrize(
+    "sampler_type,n_steps",
+    [("spaced", 3), ("ddim", 5), ("dpm++_m2", 4),
+     ("edm_dpm++_3m_sde", 4), ("edm_heun", 3)],
+)
 def test_pipeline_hoist_ab(monkeypatch, sampler_type, n_steps):
     """Full tiny pipeline: DIFFBIR_TPU_HOIST=1 vs 0 produce identical
     restorations (the hoist is exact math, not an approximation)."""
@@ -164,5 +168,34 @@ def test_pipeline_hoist_ab(monkeypatch, sampler_type, n_steps):
         outs[flag] = pipe.run(
             lq, steps=n_steps, cfg_scale=2.0, sampler_type=sampler_type,
             seed=11,
+        )
+    np.testing.assert_array_equal(outs["1"], outs["0"])
+
+
+@pytest.mark.parametrize("turbo_encoder", [False, True])
+def test_pipeline_hoist_ab_turbo(monkeypatch, turbo_encoder):
+    """Turbo path (interval-cached ControlNet [+ encoder propagation]):
+    hoist on/off identical — the hoisted collection rides both the refresh
+    and cached branches of the lax.cond."""
+    from diffbir_tpu.pipeline import IdentityCleanerPipeline
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(
+        jax.random.PRNGKey(0), (8, 8)
+    )
+    schedule = Schedule.create(timesteps=100, parameterization="eps")
+    lq = np.random.default_rng(5).integers(
+        0, 255, (1, 64, 64, 3), dtype=np.uint8
+    )
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("DIFFBIR_TPU_HOIST", flag)
+        pipe = IdentityCleanerPipeline(
+            None, cldm, params, schedule, tokenizer=None, min_cond_size=64
+        )
+        outs[flag] = pipe.run(
+            lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=11,
+            control_interval=2, turbo_encoder=turbo_encoder,
         )
     np.testing.assert_array_equal(outs["1"], outs["0"])
