@@ -75,8 +75,13 @@ def attention(
         # measured on v5e (scripts/bench_attention.py, bf16 operands): the
         # Pallas kernel wins for self-attention >= 1024 tokens (4096: x2.39,
         # 1024: x1.22); for short-kv cross-attention and 256-token maps XLA's
-        # fused attention is faster.
-        big_self = q.shape[1] >= 1024 and k.shape[1] == q.shape[1]
+        # fused attention is faster. Round-4 microbenches wobbled at the
+        # margins (256 flash 0.274 vs XLA 0.347 = possible win; 1024 flash
+        # 0.323 vs XLA 0.292 = possible loss), so the threshold is a knob:
+        # DIFFBIR_TPU_FLASH_MIN_SELF (default 1024) for step-level A/Bs
+        # (scripts/profile_step_ablation.py --flash_threshold_sweep).
+        min_self = int(os.environ.get("DIFFBIR_TPU_FLASH_MIN_SELF", "1024"))
+        big_self = q.shape[1] >= min_self and k.shape[1] == q.shape[1]
         impl = "flash" if _on_tpu() and mask is None and bias is None and big_self else "xla"
     if impl == "flash":
         from . import flash_attention

@@ -83,6 +83,18 @@ def main():
         jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (lat, lat))
     )
 
+    if "--flash_threshold_sweep" in sys.argv:
+        # Settle the dispatch-threshold question at the STEP level (the
+        # microbench wobbles session-to-session at the 256/1024 margins —
+        # TPU_RUNBOOK_r4.json bench_attention_packed note). Each threshold
+        # re-traces because time_step builds a fresh jit per call and
+        # attention() reads the env at trace time.
+        for thr in ("4096", "1024", "256"):
+            os.environ["DIFFBIR_TPU_FLASH_MIN_SELF"] = thr
+            time_step(cldm, params, f"flash min-self-tokens = {thr}")
+        os.environ.pop("DIFFBIR_TPU_FLASH_MIN_SELF", None)
+        return
+
     full = time_step(cldm, params, "full step (unet+controlnet)")
     no_cn = time_step(cldm, params, "no controlnet", use_control=False)
     print(f"{'-> controlnet share':42s} {(full - no_cn) * 1e3:8.2f} ms")
