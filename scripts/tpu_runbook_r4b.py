@@ -61,7 +61,7 @@ def step(name, argv, env=None, timeout=1800):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", default="A", choices=["A", "B"])
+    ap.add_argument("--phase", default="A", choices=["A", "B", "C"])
     args = ap.parse_args()
 
     data = load()
@@ -93,6 +93,14 @@ def main():
              {"BENCH_AB": "0", "DIFFBIR_TPU_HOIST": "0"}, 1800),
             ("profile_step_ablation",
              [PY, "scripts/profile_step_ablation.py"], None, 2400),
+        ]
+    elif args.phase == "C":
+        # step-level flash-dispatch threshold sweep (new knob), then the
+        # headline at the sweep's winner is measured manually via bench.py.
+        plan = [
+            ("flash_threshold_sweep",
+             [PY, "scripts/profile_step_ablation.py",
+              "--flash_threshold_sweep"], None, 2400),
         ]
     else:
         plan = [
