@@ -72,15 +72,17 @@ def attention(
     """Dispatching attention entry point used by all models."""
     impl = impl or _env_mode()
     if impl == "auto":
-        # measured on v5e (scripts/bench_attention.py, bf16 operands): the
-        # Pallas kernel wins for self-attention >= 1024 tokens (4096: x2.39,
-        # 1024: x1.22); for short-kv cross-attention and 256-token maps XLA's
-        # fused attention is faster. Round-4 microbenches wobbled at the
-        # margins (256 flash 0.274 vs XLA 0.347 = possible win; 1024 flash
-        # 0.323 vs XLA 0.292 = possible loss), so the threshold is a knob:
-        # DIFFBIR_TPU_FLASH_MIN_SELF (default 1024) for step-level A/Bs
-        # (scripts/profile_step_ablation.py --flash_threshold_sweep).
-        min_self = int(os.environ.get("DIFFBIR_TPU_FLASH_MIN_SELF", "1024"))
+        # measured on v5e: the Pallas kernel wins big for 4096-token
+        # self-attention (x2.4-2.5 vs XLA, scripts/bench_attention.py), but
+        # the 1024/256-token margins wobble per-session in microbenches.
+        # The step-level sweep settled it (TPU_RUNBOOK_r4b.json
+        # flash_threshold_sweep, same-process re-jits): min-self 4096 ->
+        # 26.80 ms/step, 1024 -> 27.19, 256 -> 27.67 — flash below 2048
+        # tokens is a net step loss, so the default dispatches flash only
+        # for >=2048-token self-attention. DIFFBIR_TPU_FLASH_MIN_SELF
+        # overrides for A/Bs (scripts/profile_step_ablation.py
+        # --flash_threshold_sweep).
+        min_self = int(os.environ.get("DIFFBIR_TPU_FLASH_MIN_SELF", "2048"))
         big_self = q.shape[1] >= min_self and k.shape[1] == q.shape[1]
         impl = "flash" if _on_tpu() and mask is None and bias is None and big_self else "xla"
     if impl == "flash":

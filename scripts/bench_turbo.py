@@ -50,10 +50,23 @@ def main():
             uncond = cldm.prepare_condition(params, cond_img, neg)
             rng, k1, k2 = jax.random.split(rng, 3)
             x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+            # scan-invariant hoisting, wired exactly as pipeline.py does
+            hoist_lookup = None
+            if os.environ.get("DIFFBIR_TPU_HOIST", "1") == "1":
+                ctx_full = jnp.concatenate(
+                    [cond["c_txt"], uncond["c_txt"]], axis=0
+                )
+                hoist_lookup = cldm.make_hoist_lookup(
+                    params, ctx_full, sampler.model_ts(50)
+                )
             if interval > 1:
                 model_fn = cldm.make_cached_control_model(
                     params, 1.0, interval, (64, 64), call_batch=2,
-                    cache_unet_encoder=enc,
+                    cache_unet_encoder=enc, hoist_lookup=hoist_lookup,
+                )
+            elif hoist_lookup is not None:
+                model_fn = lambda x, t, c: cldm(  # noqa: E731
+                    params, x, t, c, hoisted=hoist_lookup(t)
                 )
             else:
                 model_fn = lambda x, t, c: cldm(params, x, t, c)  # noqa: E731
