@@ -125,13 +125,13 @@ def main():
                   ("quant" if quant else "exact"))
     mode = "explicit-env" if explicit_mode else "exact"
 
-    # Opportunistic A/B of the fused-ResBlock serving mode (same param tree,
-    # same math up to bf16 rounding): only when no explicit mode was forced,
-    # only on a real TPU (the kernel falls back to XLA elsewhere), and only
-    # if a single full-model forward agrees with the exact path. Any failure
-    # (compile, execution, parity) falls back to the exact-mode number.
+    # Optional A/B of the fused-ResBlock serving mode (same param tree,
+    # same math up to bf16 rounding). Opt-in via BENCH_AB=1: two on-chip
+    # sessions measured the fused path as an e2e LOSS (r3 1.463 s, r4
+    # 1.398 s vs 1.29 exact — TPU_RUNBOOK_r{3,4}.json), so the default
+    # bench run no longer spends a ~5 min compile re-confirming it.
     if (not explicit_mode and jax.default_backend() == "tpu"
-            and os.environ.get("BENCH_AB", "1") == "1"):
+            and os.environ.get("BENCH_AB", "0") == "1"):
         try:
             fcldm = ControlLDM.sd21(dtype=jnp.bfloat16, fused_resblock=True)
             cond_img = jnp.clip(swin.apply(sp, lq), 0.0, 1.0)
