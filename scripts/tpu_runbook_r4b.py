@@ -114,7 +114,12 @@ def main():
             ("bench_llava_quant", [PY, "scripts/bench_llava.py"], None, 2400),
         ]
 
+    done = {r["name"] for r in results
+            if r.get("rc") == 0 and not r.get("timed_out")}
     for name, argv, env, to in plan:
+        if name in done:
+            print(f"===== {name}: already recorded ok, skipping =====")
+            continue
         r = step(name, argv, env=env, timeout=to)
         results.append(r)
         flush()
