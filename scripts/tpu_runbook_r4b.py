@@ -61,7 +61,7 @@ def step(name, argv, env=None, timeout=1800):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", default="A", choices=["A", "B", "C"])
+    ap.add_argument("--phase", default="A", choices=["A", "B", "C", "D"])
     args = ap.parse_args()
 
     data = load()
@@ -101,6 +101,19 @@ def main():
             ("flash_threshold_sweep",
              [PY, "scripts/profile_step_ablation.py",
               "--flash_threshold_sweep"], None, 2400),
+        ]
+    elif args.phase == "D":
+        # The two phase-B artifacts that never ran, with effectively
+        # unbounded timeouts: a fired subprocess timeout kills the TPU
+        # process mid-run and can wedge the remote chip for hours
+        # (CLAUDE.md), and the fidelity dry-run compiles up to 7 distinct
+        # full-pipeline programs (~500 s each cold).
+        plan = [
+            ("fidelity_dryrun",
+             [PY, "scripts/fidelity_gate.py", "--dryrun",
+              "--size_bucket", "512",
+              "--input", "/root/reference/inputs/real47"], None, 36000),
+            ("bench_llava_quant", [PY, "scripts/bench_llava.py"], None, 14400),
         ]
     else:
         plan = [
