@@ -289,20 +289,24 @@ def project_image_features(p: Dict, feats: jax.Array) -> jax.Array:
 # init (tests) / quantization / weight loading
 # --------------------------------------------------------------------------- #
 def init_llama_params(rng: np.random.Generator, cfg: LlamaConfig) -> Dict:
+    """Random-init params as HOST numpy arrays. jit/device_put moves them on
+    demand; keeping them off-device matters at 7B scale, where the fp32 tree
+    (~26 GB) must live on the 125 GB host, not the 16 GB v5e HBM
+    (scripts/bench_llava.py synthetic mode)."""
     def lin(k_in, k_out, bias=False):
-        d = {"kernel": jnp.asarray(
+        d = {"kernel": (
             rng.standard_normal((k_in, k_out)).astype(np.float32)
             / np.sqrt(k_in)
         )}
         if bias:
-            d["bias"] = jnp.zeros((k_out,), jnp.float32)
+            d["bias"] = np.zeros((k_out,), np.float32)
         return d
 
     layers = []
     for _ in range(cfg.n_layers):
         layers.append({
-            "input_layernorm": {"weight": jnp.ones((cfg.dim,), jnp.float32)},
-            "post_attention_layernorm": {"weight": jnp.ones((cfg.dim,), jnp.float32)},
+            "input_layernorm": {"weight": np.ones((cfg.dim,), np.float32)},
+            "post_attention_layernorm": {"weight": np.ones((cfg.dim,), np.float32)},
             "self_attn": {
                 "q_proj": lin(cfg.dim, cfg.dim), "k_proj": lin(cfg.dim, cfg.dim),
                 "v_proj": lin(cfg.dim, cfg.dim), "o_proj": lin(cfg.dim, cfg.dim),
@@ -314,11 +318,11 @@ def init_llama_params(rng: np.random.Generator, cfg: LlamaConfig) -> Dict:
             },
         })
     return {
-        "embed_tokens": {"weight": jnp.asarray(
+        "embed_tokens": {"weight": (
             rng.standard_normal((cfg.vocab_size, cfg.dim)).astype(np.float32) * 0.02
         )},
         "layers": layers,
-        "norm": {"weight": jnp.ones((cfg.dim,), jnp.float32)},
+        "norm": {"weight": np.ones((cfg.dim,), np.float32)},
         "lm_head": lin(cfg.dim, cfg.vocab_size),
     }
 
@@ -330,24 +334,33 @@ _QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj",
                "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_llama_params(params: Dict, bits: int = 8) -> Dict:
+def quantize_llama_params(params: Dict, bits: int = 8, host: bool = False) -> Dict:
     """Replace the big linears' fp weights with quantized forms:
     bits=8 -> {w_q int8, scale fp32} (the bitsandbytes-8bit equivalent);
     bits=4 -> {w_q4 packed int8, scale_g fp32 [K/group, N]} (the reference's
-    DEFAULT 4-bit load, llava/model/builder.py:32-41). Embed/norms stay fp."""
-    from ..ops.quant_matmul import INT4_WINDOW, quantize_weight_int4
+    DEFAULT 4-bit load, llava/model/builder.py:32-41). Embed/norms stay fp.
+    ``host=True`` quantizes with the bit-identical numpy twins, keeping 7B
+    trees off the 16 GB device (scripts/bench_llava.py)."""
+    from ..ops.quant_matmul import (
+        INT4_WINDOW,
+        quantize_weight_int4,
+        quantize_weight_int4_np,
+        quantize_weight_np,
+    )
 
     assert bits in (4, 8), bits
+    q8 = quantize_weight_np if host else quantize_weight
+    q4 = quantize_weight_int4_np if host else quantize_weight_int4
 
     def walk(tree, name=""):
         if isinstance(tree, dict):
             if "kernel" in tree and name in _QUANT_KEYS:
                 k_in = tree["kernel"].shape[0]
                 if bits == 4 and k_in % INT4_WINDOW == 0:
-                    w_q4, scale_g = quantize_weight_int4(tree["kernel"])
+                    w_q4, scale_g = q4(tree["kernel"])
                     out = {"w_q4": w_q4, "scale_g": scale_g}
                 else:
-                    w_q, scale = quantize_weight(tree["kernel"])
+                    w_q, scale = q8(tree["kernel"])
                     out = {"w_q": w_q, "scale": scale}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]

@@ -83,6 +83,15 @@ def attention(
         # overrides for A/Bs (scripts/profile_step_ablation.py
         # --flash_threshold_sweep).
         min_self = int(os.environ.get("DIFFBIR_TPU_FLASH_MIN_SELF", "2048"))
+        if q.shape[-1] > 256:
+            # wide single-head sites (VAE mid-block, d=512): XLA's einsum is
+            # fine at the measured 512^2 headline scale (64^2=4096 tokens,
+            # 67 MB fp32 logits) but materializes O(S^2) fp32 — 26.8 GB at
+            # 81920 tokens (large untiled encodes; the first fidelity
+            # dry-run OOM, TPU_RUNBOOK_r4b.json). Dispatch flash only where
+            # the materialization starts to threaten HBM.
+            min_self = int(
+                os.environ.get("DIFFBIR_TPU_FLASH_MIN_WIDE", "8192"))
         big_self = q.shape[1] >= min_self and k.shape[1] == q.shape[1]
         impl = "flash" if _on_tpu() and mask is None and bias is None and big_self else "xla"
     if impl == "flash":

@@ -9,10 +9,15 @@ Online-softmax tiling: grid = (batch*heads, q_blocks, kv_blocks); kv is the
 innermost (sequential) dimension; fp32 running max / sum / accumulator live in
 VMEM scratch and the output tile is written on the last kv step.
 
-Shapes are UNet/VAE scale: self-attention over (h·w) <= 4096 tokens at 512^2
-latents and cross-attention to 77 text tokens (padded to 128 by the caller via
-``pad_kv``). head_dim is 64 (UNet) or 512 (VAE single-head; handled by XLA
-path instead).
+Shapes are UNet/VAE scale: self-attention over (h·w) tokens — 4096 at 512^2
+latents, up to ~82k for the VAE mid-block on large untiled encodes — and
+cross-attention to 77 text tokens (padded to 128 by the caller via
+``pad_kv``). head_dim is 64 (UNet) or 512 (VAE single-head: smaller 512^2
+blocks keep the fp32 logit tiles in VMEM; XLA einsum at that width would
+materialize the full [S,S] fp32 score matrix — 26.8 GB at 81920 tokens, the
+on-chip OOM that killed the first fidelity dry-run, TPU_RUNBOOK_r4b.json).
+Query lengths that don't divide the block are zero-padded and cropped (rows
+are independent under softmax, so padded queries are garbage-in/cropped-out).
 """
 
 from __future__ import annotations
@@ -39,15 +44,24 @@ def _exp_bf16() -> bool:
     return os.environ.get("DIFFBIR_TPU_FLASH_EXP", "fp32") == "bf16"
 
 
-def _block_sizes(sq: int, skv: int):
-    # v5e sweep at 4096 tokens (bf16 operands): (2048,1024) 0.831 ms,
+def _block_sizes(sq: int, skv: int, d: int = 64):
+    # v5e sweep at 4096 tokens, d=64 (bf16 operands): (2048,1024) 0.831 ms,
     # (1024,1024) 0.887, (512,1024) 0.906, (1024,2048) 0.932; (2048,2048)
     # exceeds the 16 MB scoped-vmem limit. 1024-token maps clamp to
     # (1024,1024) via min(). See /tmp-style sweep in scripts/bench_attention.py.
+    # Wider heads shrink the blocks to keep the fp32 (BQ,BK) s/p temporaries
+    # plus the (BQ,D) accumulator inside the scoped-VMEM budget:
+    # d=512 at (512,512) is s/p 1 MB each + acc 1 MB.
     import os
 
-    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", 2048))
-    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", 1024))
+    if d >= 512:
+        dq, dk = 512, 512
+    elif d >= 256:
+        dq, dk = 1024, 1024
+    else:
+        dq, dk = 2048, 1024
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BQ", dq))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BK", dk))
     return min(bq, sq), min(bk, skv)
 
 
@@ -58,11 +72,10 @@ def supported(q, k, v, mask=None, bias=None) -> bool:
         return False
     b, sq, h, d = q.shape
     skv = k.shape[1]
-    if d not in (64, 128, 256):
+    if d not in (64, 128, 256, 512):
         return False
-    bq, bk = _block_sizes(sq, skv)
-    # kv remainder handled by padding; q must tile evenly and be lane-sized
-    return sq % bq == 0 and sq >= 128 and skv >= 16
+    # q remainder is zero-padded and cropped; kv remainder is masked
+    return sq >= 128 and skv >= 16
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *rest, sm_scale, kv_len, masked,
@@ -339,16 +352,19 @@ def _flash_attention_impl_packed(
 # natural accumulation axes differ: dq accumulates over kv blocks, dk/dv
 # over q blocks — each gets the matching sequential grid axis.
 # --------------------------------------------------------------------------- #
-def _bwd_block_sizes(sq: int, skv: int):
+def _bwd_block_sizes(sq: int, skv: int, d: int = 64):
     # backward holds ~4 (BQ, BK) fp32 temporaries (s, p, dp, ds) at once;
     # (1024, 1024) keeps them at 4 MB each — the pallas_calls below raise
     # the scoped-vmem limit to 32 MB to give the compiler's stack headroom
     # for these plus the block inputs (the 16 MB default was measured
-    # insufficient on the forward's lse variant; v5e has 128 MB physical)
+    # insufficient on the forward's lse variant; v5e has 128 MB physical).
+    # d=512 (VAE single-head) halves the blocks so the (BQ,D) tiles and
+    # accumulators stay inside the same budget.
     import os
 
-    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BQ", 1024))
-    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BK", 1024))
+    dq = dk = 512 if d >= 512 else 1024
+    bq = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BQ", dq))
+    bk = int(os.environ.get("DIFFBIR_TPU_FLASH_BWD_BK", dk))
     return min(bq, sq), min(bk, skv)
 
 
@@ -443,17 +459,27 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     sm_scale = d ** -0.5
-    bq, bk = _bwd_block_sizes(sq, skv)
+    bq, bk = _bwd_block_sizes(sq, skv, d)
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[-1])
 
     qf, kf, vf, of, gf = fold(q), fold(k), fold(v), fold(o), fold(g)
+    # pad the q-side rows (q, o, dO, lse) to a block multiple: padded rows
+    # have q=dO=0, so their dk/dv contributions vanish (ds=0, p^T.dO=0) and
+    # the garbage dq rows are cropped below
+    qpad = (-sq) % bq
+    if qpad:
+        qf = jnp.pad(qf, ((0, 0), (0, qpad), (0, 0)))
+        of = jnp.pad(of, ((0, 0), (0, qpad), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, qpad), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, qpad), (0, 0)))
+    sqp = sq + qpad
     pad = (-skv) % bk
     if pad:
         kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
-    nq, nk = sq // bq, (skv + pad) // bk
+    nq, nk = sqp // bq, (skv + pad) // bk
     masked = pad != 0
 
     common = dict(sm_scale=sm_scale, kv_len=skv, masked=masked)
@@ -462,7 +488,7 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
     in_kv_dq = pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, j, 0))
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, **common),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, d), q.dtype),
         grid=(b * h, nq, nk),
         in_specs=[in_q, in_kv_dq, in_kv_dq, in_q, in_lse, in_q],
         out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0)),
@@ -504,6 +530,8 @@ def _flash_attention_bwd_impl(q, k, v, o, lse, g, interpret: bool = False):
     )(qf, kf, vf, of, lse, gf)
     if pad:
         dk, dv = dk[:, :skv], dv[:, :skv]
+    if qpad:
+        dq = dq[:, :sq]
 
     def unfold(x, s):
         return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
@@ -521,28 +549,34 @@ def _flash_attention_impl(
     b, sq, h, d = q.shape
     skv = k.shape[1]
     sm_scale = d ** -0.5
-    bq, bk = _block_sizes(sq, skv)
+    bq, bk = _block_sizes(sq, skv, d)
 
     # fold heads into batch; layout (BH, S, D)
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
+    # pad q to a multiple of bq (rows are independent under softmax: padded
+    # queries produce garbage rows that are cropped below, no mask needed)
+    qpad = (-sq) % bq
+    if qpad:
+        qf = jnp.pad(qf, ((0, 0), (0, qpad), (0, 0)))
+    sqp = sq + qpad
     # pad kv to a multiple of bk (masked inside the kernel)
     pad = (-skv) % bk
     if pad:
         kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
-    nq, nk = sq // bq, (skv + pad) // bk
+    nq, nk = sqp // bq, (skv + pad) // bk
 
-    out_shape = jax.ShapeDtypeStruct((b * h, sq, d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((b * h, sqp, d), q.dtype)
     out_spec = pl.BlockSpec((1, bq, d), lambda bh, qi, ki: (bh, qi, 0))
     if return_lse:
         # lane-replicated lse (BH, Sq, 128): matches the (bq, 128) scratch
         # layout so the store is a copy, not a transpose; the bwd kernels
         # consume column 0 via [:, :1].
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b * h, sq, 128), jnp.float32)]
+                     jax.ShapeDtypeStruct((b * h, sqp, 128), jnp.float32)]
         out_spec = [out_spec,
                     pl.BlockSpec((1, bq, 128), lambda bh, qi, ki: (bh, qi, 0))]
 
@@ -576,5 +610,9 @@ def _flash_attention_impl(
     )(qf, kf, vf)
     if return_lse:
         o, lse = out
+        if qpad:
+            o, lse = o[:, :sq], lse[:, :sq]
         return o.reshape(b, h, sq, d).transpose(0, 2, 1, 3), lse
+    if qpad:
+        out = out[:, :sq]
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -165,6 +165,44 @@ def quantize_weight_int4(
     return packed.reshape(k // 2, n), scale
 
 
+def quantize_weight_np(w) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Host (numpy) twin of :func:`quantize_weight` — bit-identical packing
+    without touching the device. Needed to build synthetic 7B-scale weight
+    sets on the 125 GB host: the jnp version would materialize the fp32
+    source on the 16 GB v5e HBM before quantizing (scripts/bench_llava.py)."""
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=0)
+    scale = np.maximum(absmax / 127.0, 1e-8).astype(np.float32)
+    q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_weight_int4_np(
+    w, group_size: int = 128, window: int = INT4_WINDOW
+) -> Tuple["np.ndarray", "np.ndarray"]:
+    """Host (numpy) twin of :func:`quantize_weight_int4` (same window-halved
+    packing; see quantize_weight_np for why it exists)."""
+    import numpy as np
+
+    k, n = w.shape
+    assert k % window == 0 and window % 2 == 0 and window % group_size == 0, (
+        k, window, group_size)
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w.reshape(k // group_size, group_size, n)), axis=1)
+    scale = np.maximum(absmax / 7.0, 1e-8).astype(np.float32)
+    q = np.clip(
+        np.round(w / np.repeat(scale, group_size, axis=0)), -7, 7
+    ).astype(np.int32)
+    half = window // 2
+    qw = q.reshape(k // window, window, n)
+    lo = qw[:, :half] & 0xF
+    hi = qw[:, half:] & 0xF
+    packed = (lo | (hi << 4)).astype(np.uint8).view(np.int8)
+    return packed.reshape(k // 2, n), scale
+
+
 def _unpack_int4(packed: jax.Array, window: int = INT4_WINDOW) -> jax.Array:
     """[K/2, N] packed int8 -> [K, N] int32 in [-7, 7] (window-halved layout)."""
     kp, n = packed.shape
@@ -193,9 +231,13 @@ def _xla_quant_matmul_int4(
 
 def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window, gpw):
     """Grid (n_tiles, k_windows); one K step = one pack window of `window`
-    logical rows (window/2 packed int8 rows). ``scale_ref`` carries the FULL
-    K/group_size rows (a (gpw,)-row block would violate the TPU BlockSpec
-    last-two-dims rule); the window's ``gpw`` rows are sliced in-kernel."""
+    logical rows (window/2 packed int8 rows). ``scale_ref`` is this window's
+    sublane-padded scale block ([rpw>=8, bn], rows [0, gpw) valid): the
+    window step happens in the BlockSpec index map, so the in-kernel row
+    slice is STATIC. (The previous dynamic ``dslice(j*gpw, gpw)`` failed the
+    Mosaic backend — 'cannot statically prove index is a multiple of 8' —
+    at every llama shape, where gpw=2; interpret-mode tests and the AOT
+    lowering gate both miss backend-only errors like this.)"""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -210,7 +252,7 @@ def _kernel_int4(x_ref, wq_ref, scale_ref, out_ref, acc_ref, *, window, gpw):
     hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 24), 28)
     w_int = jnp.concatenate([lo, hi], axis=0)  # [window, bn]
     bn = scale_ref.shape[-1]
-    scale_w = scale_ref[pl.dslice(j * gpw, gpw), :]  # dynamic REF slice
+    scale_w = scale_ref[:gpw, :]  # static slice of the padded window block
     w = (
         w_int.reshape(gpw, window // gpw, bn).astype(jnp.float32)
         * scale_w[:, None, :]
@@ -246,6 +288,14 @@ def _pallas_quant_matmul_int4(
     bn = min(block_n, n)
     assert n % bn == 0, (n, bn)
     grid = (n // bn, k // window)
+    # sublane-align the scales per window: gpw rows (2 at the llama
+    # group=128) padded up to 8 so each window's scale block starts at a
+    # provably 8-aligned row and the kernel slices it statically
+    rpw = -(-groups_per_window // 8) * 8
+    scale_p = jnp.pad(
+        scale.reshape(k // window, groups_per_window, n),
+        ((0, 0), (0, rpw - groups_per_window), (0, 0)),
+    ).reshape(k // window * rpw, n)
     out = pl.pallas_call(
         functools.partial(_kernel_int4, window=window, gpw=groups_per_window),
         out_shape=jax.ShapeDtypeStruct((bm, n), x.dtype),
@@ -255,17 +305,12 @@ def _pallas_quant_matmul_int4(
             pl.BlockSpec(
                 (window // 2, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM
             ),
-            # full K/group rows per N tile (block-shape rule; window rows
-            # are sliced inside the kernel)
-            pl.BlockSpec(
-                (scale.shape[0], bn), lambda i, j: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((rpw, bn), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
-    )(x, packed, scale)
+    )(x, packed, scale_p)
     return out[:m] if m_pad else out
 
 

@@ -407,17 +407,22 @@ class Pipeline:
     ) -> np.ndarray:
         """lq: uint8 [B,H,W,3] -> restored uint8 [B,*output_size,3].
 
-        ``size_bucket`` > 0 pads inputs up to multiples of that many pixels
-        (reflect) before the cleaner, bounding the number of distinct compiled
-        programs when serving arbitrary resolutions (static-shape bucketing,
-        SURVEY.md §7 hard part 6); output is still cropped to the exact size.
+        ``size_bucket`` > 0 bounds the number of distinct compiled programs
+        when serving arbitrary resolutions (static-shape bucketing, SURVEY.md
+        §7 hard part 6). The bucket is applied to the CONDITION image (the
+        stage-2 input, where compile cost lives), padding it up to multiples
+        of that many pixels; the LQ itself is only padded to x64 to dedupe
+        cleaner programs. Bucketing the LQ instead would multiply the pad by
+        the cleaner's upscale — a 512-bucketed LQ under the x4 BSRNet becomes
+        a >=2048px condition, 16x the diffusion cost and an 82k-token VAE
+        attention (the first on-chip fidelity dry-run OOM'd exactly there,
+        TPU_RUNBOOK_r4b.json). Output is still cropped to the exact size.
         """
         lq = np.asarray(lq)
         orig_hw = lq.shape[1:3]
         if size_bucket:
             _, h, w, _ = lq.shape
-            ph = (size_bucket - h % size_bucket) % size_bucket
-            pw = (size_bucket - w % size_bucket) % size_bucket
+            ph, pw = (-h) % 64, (-w) % 64
             if ph or pw:
                 lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         lq_t = jnp.clip(jnp.asarray(lq, jnp.float32) / 255.0, 0.0, 1.0)
@@ -428,11 +433,24 @@ class Pipeline:
         assert all(s >= self.min_cond_size for s in cond_img.shape[1:3]), (
             "stage-1 output must be >= 512 (condition for stage-2)"
         )
+        ch, cw = cond_img.shape[1:3]
+        if size_bucket:
+            pch, pcw = (-ch) % size_bucket, (-cw) % size_bucket
+            if pch or pcw:
+                # reflect needs pad < dim (cond >= 512 so any bucket <= 512
+                # qualifies); fall back to edge replication for huge buckets
+                mode = "reflect" if (pch < ch and pcw < cw) else "edge"
+                cond_img = jnp.pad(
+                    cond_img, ((0, 0), (0, pch), (0, pcw), (0, 0)), mode=mode
+                )
         sample = self.apply_cldm(
             cond_img, steps, strength, pos_prompt, neg_prompt, cfg_scale,
             start_point_type, sampler_type, noise_aug, rescale_cfg,
             rng=jax.random.PRNGKey(seed), **sampler_kwargs,
         )
+        if size_bucket and (ch, cw) != tuple(sample.shape[1:3]):
+            sample = sample[:, :ch, :cw]
+            cond_img = cond_img[:, :ch, :cw]
         sample = wavelet_reconstruction((sample + 1) / 2, cond_img)
         sample = bicubic_resize(sample, self.output_size)
         out = np.asarray(jnp.clip(sample * 255.0, 0, 255).astype(jnp.uint8))

@@ -48,6 +48,15 @@ def main():
         q = z((2, seq, heads, 64))
         check(f"flash_fwd seq={seq}", fa.flash_attention, q, q, q)
 
+    # wide single-head (VAE mid-block, d=512) — incl. the 81920-token
+    # fidelity-scale shape and a ragged (q-padded) length
+    for seq in (4096, 81920, 52800):
+        q = z((1, seq, 1, 512))
+        check(f"flash_fwd_vae seq={seq} d=512", fa.flash_attention, q, q, q)
+    # ragged q at the UNet head layout (q zero-pad + crop path)
+    q = z((2, 2500, 5, 64))
+    check("flash_fwd ragged seq=2500", fa.flash_attention, q, q, q)
+
     # packed [B,S,H*D] forward: all SD2.1 self-attn sites + 77-token cross
     for seq, skv, heads in (
         (4096, 4096, 5), (1024, 1024, 10), (256, 256, 20),

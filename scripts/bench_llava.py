@@ -34,30 +34,32 @@ def main():
 
     path = os.environ.get("DIFFBIR_TPU_LLAVA_PATH", "")
     if path and os.path.isdir(path):
-        llama_q4, _, _, (cfg, _) = L.load_llava_params(path, quantize=4)
-        llama_q, _, _, _ = L.load_llava_params(path, quantize=8)
-        llama_f, _, _, _ = L.load_llava_params(path, quantize=False)
-        variants = {"int4": llama_q4, "int8": llama_q,
-                    "bf16": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            llama_f,
-        )}
+        cfg = L.load_llava_params(path, quantize=4)[3][0]
+        variants = {
+            "int4": lambda: L.load_llava_params(path, quantize=4)[0],
+            "int8": lambda: L.load_llava_params(path, quantize=8)[0],
+            "bf16": lambda: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                L.load_llava_params(path, quantize=False)[0],
+            ),
+        }
     else:
         cfg = L.LlamaConfig(dim=args.dim, n_layers=args.layers,
                             n_heads=args.dim // 128, ffn_dim=11008)
         print(f"no weights; synthetic llama {cfg.n_layers}x{cfg.dim}", flush=True)
+        # HOST numpy fp32 tree (~26 GB at 7B — fits the 125 GB host, not the
+        # 16 GB HBM); each variant is derived on host, lazily, one at a time
         params = L.init_llama_params(np.random.default_rng(0), cfg)
-        bf16 = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            params,
-        )
         variants = {
-            "int4": L.quantize_llama_params(params, bits=4),
-            "int8": L.quantize_llama_params(params, bits=8),
-            "bf16": bf16,
+            "int4": lambda: L.quantize_llama_params(params, bits=4, host=True),
+            "int8": lambda: L.quantize_llama_params(params, bits=8, host=True),
+            "bf16": lambda: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params,
+            ),
         }
-        del params
 
     prompt = jnp.asarray(
         np.random.default_rng(1).standard_normal(
@@ -66,7 +68,16 @@ def main():
         jnp.bfloat16,
     )
 
-    for name, p in variants.items():
+    for name, build in variants.items():
+        # Weights live on HOST until here. device_put ONE variant at a time:
+        # passing host numpy trees into jit would re-transfer up to 14 GB
+        # (bf16 7B) through the tunnel on EVERY timed call (measuring link
+        # bandwidth, not decode), and holding bf16+int8+int4 on device at
+        # once (14+7+3.5 GB) overflows the 16 GB v5e HBM.
+        host_tree = build()
+        p = jax.device_put(host_tree)
+        jax.block_until_ready(p)
+        del host_tree
         fn = jax.jit(lambda pp, pr: L.greedy_decode(pp, cfg, pr, args.new, -1))
         toks = fn(p, prompt)
         _ = np.asarray(toks)  # force through the tunnel
@@ -75,6 +86,7 @@ def main():
         for _ in range(n_runs):
             _ = np.asarray(fn(p, prompt))
         dt = (time.time() - t0) / n_runs
+        del p
         print(f"{name}: {args.new / dt:.1f} tok/s  "
               f"({dt / args.new * 1000:.1f} ms/tok, prefill {args.prompt_len})",
               flush=True)

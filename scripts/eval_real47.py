@@ -31,10 +31,11 @@ def main():
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=231)
     ap.add_argument("--size_bucket", type=int, default=0,
-                    help="static-shape bucketing (pad to multiples of N px, "
-                    "crop back); bounds compile count over the 25 distinct "
-                    "real47 shapes — use 0 (exact x64) for the fidelity "
-                    "verdict, 512 for harness dry-runs")
+                    help="static-shape bucketing (pad the stage-2 condition "
+                    "image to multiples of N px, crop back; LQ only to x64); "
+                    "bounds stage-2 compile count over the 31 distinct "
+                    "real47 shapes (7 programs at 512) — use 0 (exact x64) "
+                    "for the fidelity verdict, 512 for harness dry-runs")
     args = ap.parse_args()  # strict: a typo'd flag must not silently run defaults
 
     from argparse import Namespace

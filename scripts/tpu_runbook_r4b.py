@@ -109,10 +109,23 @@ def main():
         # (CLAUDE.md), and the fidelity dry-run compiles up to 7 distinct
         # full-pipeline programs (~500 s each cold).
         plan = [
+            # backend parity of the wide-head/ragged flash paths BEFORE
+            # betting hours of chip time on the fidelity run (Mosaic
+            # backend-only failures are a demonstrated risk: the int4
+            # scale-slice bug passed interpret + AOT lowering)
+            ("flash_wide_parity",
+             [PY, "scripts/check_flash_wide_chip.py"], None, 1800),
             ("fidelity_dryrun",
              [PY, "scripts/fidelity_gate.py", "--dryrun",
               "--size_bucket", "512",
               "--input", "/root/reference/inputs/real47"], None, 36000),
+            # tiny-shape backend check of the int4/int8 decode kernels
+            # (same rationale as flash_wide_parity) before the 7B bench
+            # spends ~30 min on synthetic-weight generation + transfers
+            ("bench_llava_tiny",
+             [PY, "scripts/bench_llava.py", "--new", "4",
+              "--prompt_len", "64", "--layers", "2", "--dim", "256"],
+             None, 3600),
             ("bench_llava_quant", [PY, "scripts/bench_llava.py"], None, 14400),
         ]
     else:

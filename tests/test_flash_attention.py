@@ -87,6 +87,58 @@ def test_supported_gate():
     assert not supported(q, q, q, mask=jnp.ones((1, 1, 1, 1), bool))
     q_small = jnp.zeros((1, 64, 5, 64))
     assert not supported(q_small, q_small, q_small)  # sq < 128
+    # wide single-head (VAE mid-block) and ragged q lengths are supported
+    q_wide = jnp.zeros((1, 4096, 1, 512))
+    assert supported(q_wide, q_wide, q_wide)
+    q_ragged = jnp.zeros((1, 2500, 2, 64))
+    assert supported(q_ragged, q_ragged, q_ragged)
+
+
+def test_flash_wide_head_matches_xla():
+    """d=512 single-head (VAE mid-block shape) with its shrunken blocks."""
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 1, 512), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 1, 512), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 1, 512), jnp.float32)
+    ref = xla_attention(q, kk, v)
+    out = _flash_attention_impl(q, kk, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_ragged_q_matches_xla(monkeypatch):
+    """sq that doesn't divide the q block: zero-pad + crop path."""
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BQ", "128")
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BK", "128")
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 200, 2, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, 200, 2, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 200, 2, 64), jnp.float32)
+    ref = xla_attention(q, kk, v)
+    out = _flash_attention_impl(q, kk, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bwd_ragged_q_matches_xla_grads(monkeypatch):
+    """Padded q-side rows (q=dO=0) must not pollute dk/dv; dq is cropped."""
+    from diffbir_tpu.ops.flash_attention import (
+        _flash_attention_bwd_impl,
+        _flash_attention_impl,
+    )
+
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BQ", "128")
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BK", "128")
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BWD_BQ", "128")
+    monkeypatch.setenv("DIFFBIR_TPU_FLASH_BWD_BK", "128")
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 200, 2, 64), jnp.float32)
+    kk = jax.random.normal(jax.random.PRNGKey(1), (1, 200, 2, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 200, 2, 64), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(3), (1, 200, 2, 64), jnp.float32)
+
+    o, lse = _flash_attention_impl(q, kk, v, interpret=True, return_lse=True)
+    dq, dk, dv = _flash_attention_bwd_impl(q, kk, v, o, lse, g, interpret=True)
+    _, vjp = jax.vjp(xla_attention, q, kk, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=5e-4, rtol=1e-3)
 
 
 @pytest.mark.parametrize("sq,skv", [(256, 256), (256, 77)])

@@ -112,6 +112,27 @@ def test_quantize_int4_roundtrip_error():
     assert bool(jnp.all(err <= bound))
 
 
+def test_quantize_np_twins_bit_identical():
+    """Host numpy quantizers (7B synthetic bench path) must produce the exact
+    same packed bytes + scales as the jnp versions."""
+    from diffbir_tpu.ops.quant_matmul import (
+        quantize_weight_int4,
+        quantize_weight_int4_np,
+        quantize_weight_np,
+    )
+
+    rng = np.random.default_rng(11)
+    w = rng.standard_normal((512, 384)).astype(np.float32) * 0.02
+    q_j, s_j = quantize_weight(jnp.asarray(w))
+    q_n, s_n = quantize_weight_np(w)
+    np.testing.assert_array_equal(np.asarray(q_j), q_n)
+    np.testing.assert_allclose(np.asarray(s_j), s_n, rtol=0, atol=0)
+    p_j, g_j = quantize_weight_int4(jnp.asarray(w), group_size=128)
+    p_n, g_n = quantize_weight_int4_np(w, group_size=128)
+    np.testing.assert_array_equal(np.asarray(p_j), p_n)
+    np.testing.assert_allclose(np.asarray(g_j), g_n, rtol=0, atol=0)
+
+
 def test_quant_matmul_int4_close_to_exact():
     from diffbir_tpu.ops.quant_matmul import quant_matmul_int4, quantize_weight_int4
 

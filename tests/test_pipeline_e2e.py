@@ -55,6 +55,24 @@ def test_e2e_nonsquare_padding(tiny_pipe):
     assert out.shape == (1, 72, 96, 3)
 
 
+def test_e2e_size_bucket_cond_padding(tiny_pipe):
+    """size_bucket pads the COND image (stage-2 compile shape), not the LQ
+    by the bucket (which under an upscaling cleaner would inflate the
+    diffusion cost by upscale^2 — the on-chip fidelity dry-run OOM)."""
+    lq = np.random.default_rng(3).integers(0, 255, (1, 72, 96, 3), dtype=np.uint8)
+    # LQ pads x64 -> 128x128 cond; bucket 96 -> stage-2 runs at 192x192
+    out = tiny_pipe.run(
+        lq, steps=2, cfg_scale=1.5, sampler_type="spaced", size_bucket=96
+    )
+    assert out.shape == (1, 72, 96, 3)
+    # bucket-aligned input is a no-op pad and keeps exact shapes
+    lq2 = np.random.default_rng(4).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    out2 = tiny_pipe.run(
+        lq2, steps=2, cfg_scale=1.5, sampler_type="spaced", size_bucket=64
+    )
+    assert out2.shape == (1, 64, 64, 3)
+
+
 def test_bsrnet_pipeline_upscale8():
     """BASELINE config 4 shape: x4 SR cleaner + upscale-8 output (tiny)."""
     from diffbir_tpu.models.bsrnet import RRDBNet
