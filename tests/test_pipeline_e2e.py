@@ -93,6 +93,45 @@ def test_bsrnet_pipeline_upscale8():
     assert out.shape == (1, 128, 128, 3)  # 16 * 8
 
 
+def test_bsrnet_size_bucket_does_not_inflate_cond():
+    """Under an upscaling cleaner the bucket must pad the COND, not the LQ:
+    LQ-side bucketing multiplies the pad by the upscale (the fidelity
+    dry-run OOM — a 512-bucketed LQ became a 2560x2048 condition). The
+    observable contract: stage-2 sees the x64-LQ-derived cond (256x256
+    here), never an lq-bucket-inflated one (512x512 under the old
+    semantics), and the output crops back to the original aspect."""
+    from diffbir_tpu.models.bsrnet import RRDBNet
+    from diffbir_tpu.pipeline import BSRNetPipeline
+
+    cldm = ControlLDM.tiny()
+    params = jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (8, 8))
+    schedule = Schedule.create(timesteps=50)
+    rrdb = RRDBNet(nf=8, nb=1, gc=4, sf=4)
+    rp = jax.jit(rrdb.init)(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    pipe = BSRNetPipeline(
+        cleaner_apply=jax.jit(lambda x: jnp.clip(rrdb.apply(rp, x), 0, 1)),
+        cldm=cldm, params=params, schedule=schedule, upscale=4.0,
+        min_cond_size=64,
+    )
+    seen = []
+    orig = pipe.apply_cldm
+
+    def spy(cond_img, *a, **k):
+        seen.append(tuple(cond_img.shape[1:3]))
+        return orig(cond_img, *a, **k)
+
+    pipe.apply_cldm = spy
+    lq = np.random.default_rng(5).integers(0, 255, (1, 18, 21, 3), dtype=np.uint8)
+    out = pipe.run(lq, steps=2, cfg_scale=1.0, sampler_type="spaced",
+                   size_bucket=128)
+    # LQ 18x21 pads x64 -> 64x64; cond = 256x256; bucket 128 -> no pad.
+    # Old LQ-side semantics would have padded the LQ to 128x128 -> cond
+    # 512x512 (4x the stage-2 pixels).
+    assert seen == [(256, 256)]
+    # output crops back to the original aspect: 18*4 x 21*4
+    assert out.shape == (1, 72, 84, 3)
+
+
 def test_scunet_pipeline_denoise():
     from diffbir_tpu.models.scunet import SCUNet
     from diffbir_tpu.pipeline import SCUNetPipeline
