@@ -183,7 +183,10 @@ class InferenceLoop:
         self._prompts: List[tuple] = []
 
     def run(self) -> None:
+        import time
+
         self.setup()
+        idx = 0
         for lq in self.load_lq():
             caption = self.captioner(lq)
             pos_prompt = ", ".join(
@@ -193,11 +196,21 @@ class InferenceLoop:
             self.loop_ctx["prompt"] = pos_prompt
             n = self.args.n_samples
             bs = max(1, int(getattr(self.args, "batch_size", n) or n))
+            # flushed per-image progress line BEFORE compute: a mid-run TPU
+            # worker crash (r4b fidelity dry-run, 4100 s in, never attributed)
+            # then names the image and its compiled-program shape
+            idx += 1
+            print(f"[loop] #{idx} {self.loop_ctx['file_stem']} "
+                  f"lq={lq_arr.shape[0]}x{lq_arr.shape[1]}", flush=True)
+            t0 = time.time()
             chunks = []
             for off in range(0, n, bs):
                 chunk = np.stack([lq_arr] * min(bs, n - off))
                 chunks.append(self._run_pipeline(chunk, pos_prompt, off))
             samples = np.concatenate(chunks, axis=0)
+            print(f"[loop] #{idx} {self.loop_ctx['file_stem']} done "
+                  f"out={samples.shape[1]}x{samples.shape[2]} "
+                  f"{time.time() - t0:.1f}s", flush=True)
             for i in range(samples.shape[0]):
                 self.save(Image.fromarray(samples[i]), i)
         self.write_prompt_log()

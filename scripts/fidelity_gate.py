@@ -75,11 +75,20 @@ def main():
         cmd += ["--ref", args.ref_outputs]
     print(" ".join(cmd), flush=True)
     t0 = time.time()
-    out = subprocess.run(cmd, capture_output=True, text=True)
+    # stream (don't capture): per-image [loop] lines must reach the console
+    # the moment they print so a mid-run TPU crash names its image/program
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    captured = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        captured.append(line)
+    rc = proc.wait()
     wall_s = round(time.time() - t0, 1)
-    sys.stdout.write(out.stdout)
-    sys.stderr.write(out.stderr)
-    out.check_returncode()
+    if rc != 0:
+        raise subprocess.CalledProcessError(rc, cmd, "".join(captured))
+    out_stdout = "".join(captured)
 
     result = {"output_dir": args.output, "steps": args.steps,
               "size_bucket": args.size_bucket, "wall_s": wall_s}
@@ -92,7 +101,7 @@ def main():
             json.dump(result, f, indent=2)
         print(f"wrote {path} (dryrun — random weights, no PSNR verdict)")
         return
-    for line in out.stdout.splitlines():
+    for line in out_stdout.splitlines():
         m = re.match(
             r"PSNR vs reference outputs: ([\d.]+) dB \(Y: ([\d.]+) dB\)", line
         )

@@ -72,6 +72,65 @@ def time_step(cldm, params, label, use_control=True):
     return per
 
 
+def analyze_perfetto(path):
+    """Device-track utilization/gap analysis of a JAX Chrome/perfetto JSON
+    trace (plugins/profile/<run>/perfetto_trace.json.gz). Answers the one
+    question the ablation can't: how much of the step is the device IDLE
+    (scheduling gaps) vs executing ops."""
+    import gzip
+    import json as _json
+    from collections import defaultdict
+
+    try:
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rb") as f:
+            data = _json.loads(f.read().decode())
+    except Exception as e:  # binary protobuf perfetto -> skip gracefully
+        print(f"trace parse failed ({e}); inspect {path} in perfetto UI",
+              flush=True)
+        return
+    events = data.get("traceEvents", data if isinstance(data, list) else [])
+    # map pid/tid -> name to find the TPU device op track
+    names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") in ("process_name", "thread_name"):
+            names[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
+            names[(e.get("pid"), None)] = names.get((e.get("pid"), None), "") \
+                or (e["args"].get("name", "") if e["name"] == "process_name" else "")
+    tracks = defaultdict(list)
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            tracks[(e.get("pid"), e.get("tid"))].append(e)
+    for key, evs in sorted(tracks.items(), key=lambda kv: -len(kv[1])):
+        pname = names.get((key[0], None), "")
+        tname = names.get(key, "")
+        label = f"{pname}/{tname}".lower()
+        if not ("tpu" in label or "xla" in label or "device" in label):
+            continue
+        evs.sort(key=lambda e: e["ts"])
+        t0, t1 = evs[0]["ts"], max(e["ts"] + e["dur"] for e in evs)
+        busy = 0.0
+        cur_end = t0
+        gaps = []
+        for e in evs:
+            s, d = e["ts"], e["dur"]
+            if s > cur_end:
+                gaps.append((cur_end, s - cur_end))
+            busy += d
+            cur_end = max(cur_end, s + d)
+        span = t1 - t0
+        gaps.sort(key=lambda g: -g[1])
+        by_op = defaultdict(float)
+        for e in evs:
+            by_op[e.get("name", "?")[:60]] += e["dur"]
+        print(f"track {pname}/{tname}: span {span/1e3:.2f} ms, busy "
+              f"{busy/1e3:.2f} ms ({100*busy/max(span,1):.1f}%), "
+              f"{len(evs)} events, top gaps (us): "
+              f"{[round(g[1],1) for g in gaps[:8]]}", flush=True)
+        for op_name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"    {dur/1e3:8.3f} ms  {op_name}", flush=True)
+
+
 def main():
     import diffbir_tpu.models.unet as unet_mod
     import diffbir_tpu.models.layers as layers_mod
@@ -82,6 +141,94 @@ def main():
     params = _bf16(
         jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (lat, lat))
     )
+
+    if "--flash_bq_sweep" in sys.argv:
+        # r4 swept BQ/BK per-call at 2048/1024 only; VERDICT r4 asks for the
+        # STEP-level A/B at the >=2048-token sites (grid/pipelining context
+        # differs from the microbench — the min-self lesson).
+        for bq, bk in ((2048, 1024), (1024, 1024), (2048, 2048),
+                       (1024, 512), (512, 512)):
+            os.environ["DIFFBIR_TPU_FLASH_BQ"] = str(bq)
+            os.environ["DIFFBIR_TPU_FLASH_BK"] = str(bk)
+            time_step(cldm, params, f"flash BQ={bq} BK={bk}")
+        os.environ.pop("DIFFBIR_TPU_FLASH_BQ", None)
+        os.environ.pop("DIFFBIR_TPU_FLASH_BK", None)
+        return
+
+    if "--ffn_ablation" in sys.argv:
+        # the ~7.5 ms transformer-minus-attention share has had zero
+        # dedicated experiments (VERDICT r4 weak #1) — split it:
+        # FFN (GEGLU+proj matmuls), LayerNorms, attn out-proj.
+        full = time_step(cldm, params, "full step (unet+controlnet)")
+
+        def ffn_zero(self, x):
+            return x * 0.0  # residual add becomes identity; no param reads
+
+        with patched(unet_mod.FeedForward, "__call__", ffn_zero):
+            no_ffn = time_step(cldm, params, "feedforward -> zero")
+        print(f"{'-> ffn share':42s} {(full - no_ffn) * 1e3:8.2f} ms")
+
+        ln_call = layers_mod.LayerNormFp32.__call__
+
+        def ln_id(self, x):
+            return x
+
+        with patched(layers_mod.LayerNormFp32, "__call__", ln_id), \
+                patched(unet_mod, "LayerNormFp32", layers_mod.LayerNormFp32):
+            no_ln = time_step(cldm, params, "layernorms -> identity")
+        print(f"{'-> layernorm share':42s} {(full - no_ln) * 1e3:8.2f} ms")
+
+        # GEGLU nonlinearity only (keep both matmuls): gelu -> identity
+        import flax.linen as nn
+
+        def geglu_nogelu(self, x):
+            d = unet_mod.QuantDense if self.quant else unet_mod.dense
+            h = d(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            return h * gate
+
+        geglu_nogelu = nn.compact(geglu_nogelu)
+        with patched(unet_mod.GEGLU, "__call__", geglu_nogelu):
+            no_gelu = time_step(cldm, params, "geglu gelu -> mul only")
+        print(f"{'-> gelu share':42s} {(full - no_gelu) * 1e3:8.2f} ms")
+        return
+
+    if "--trace" in sys.argv:
+        # jax.profiler timeline through the axon tunnel (VERDICT r4 2a —
+        # never captured). Perfetto trace -> device-track gap analysis.
+        logdir = "/tmp/diffbir_trace"
+        import glob
+        import shutil
+
+        shutil.rmtree(logdir, ignore_errors=True)
+        lat = SIZE // 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, lat, lat, 4), jnp.float32)
+        c = {"c_txt": jnp.zeros((2, 77, 1024), jnp.bfloat16),
+             "c_img": jnp.zeros((2, lat, lat, 4), jnp.float32)}
+        t = jnp.full((2,), 500.0)
+
+        @jax.jit
+        def loop(params, x):
+            def body(i, acc):
+                return acc + 0.001 * cldm(params, acc, t, c, control_scales=1.0)
+            return jax.lax.fori_loop(0, N_INNER, body, x)
+
+        float(jnp.sum(loop(params, x)))  # compile outside the trace
+        jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+        float(jnp.sum(loop(params, x)))
+        jax.profiler.stop_trace()
+        files = glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
+        for f in sorted(files):
+            if os.path.isfile(f):
+                print(f"  {os.path.getsize(f):>10d}  {f}", flush=True)
+        pt = [f for f in files if f.endswith(".perfetto-trace")
+              or f.endswith("trace.json.gz")]
+        if pt:
+            analyze_perfetto(pt[0])
+        else:
+            print("no perfetto trace produced (axon tunnel limitation?)",
+                  flush=True)
+        return
 
     if "--flash_threshold_sweep" in sys.argv:
         # Settle the dispatch-threshold question at the STEP level (the
