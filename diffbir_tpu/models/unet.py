@@ -266,6 +266,32 @@ class GEGLU(nn.Module):
         return h * nn.gelu(gate, approximate=False)
 
 
+class _KernelBias(nn.Module):
+    """Dense-compatible {kernel, bias} params without running the matmul
+    (the _Kernel trick, plus bias) — lets fused ops consume raw weights
+    while the param tree stays checkpoint-identical to nn.Dense."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_dim, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    """Param-tree twin of GEGLU (scope net.0/proj/{kernel,bias})."""
+
+    features: int  # inner * 2
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        return _KernelBias(self.features, name="proj")(in_dim)
+
+
 class FeedForward(nn.Module):
     dim: int
     mult: int = 4
@@ -274,7 +300,20 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = GEGLU(self.dim * self.mult, dtype=self.dtype, quant=self.quant, name="net.0")(x)
+        from ..ops import fused_ffn as _ff
+
+        inner = self.dim * self.mult
+        if _ff.enabled() and not self.quant:
+            # whole-FFN Pallas kernel: both matmuls + GEGLU with the (N, 8d)
+            # and (N, 4d) intermediates pinned in VMEM (opt-in; see
+            # ops/fused_ffn.py header for the e2e-measurement policy)
+            w1, b1 = _GEGLUParams(inner * 2, name="net.0")(x.shape[-1])
+            w2, b2 = _KernelBias(self.dim, name="net.2")(inner)
+            b, s, c = x.shape
+            out = _ff.fused_ffn(
+                x.astype(self.dtype).reshape(b * s, c), w1, b1, w2, b2)
+            return out.reshape(b, s, self.dim)
+        h = GEGLU(inner, dtype=self.dtype, quant=self.quant, name="net.0")(x)
         d = QuantDense if self.quant else dense
         return d(self.dim, dtype=self.dtype, name="net.2")(h)
 

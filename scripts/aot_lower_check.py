@@ -138,6 +138,28 @@ def main():
                               groups=32, eps=1e-5)
         check(f"fused_resblock[int8] cin={cin} cout={cout} {h}x{w}", f, *args)
 
+    # ---- fused FFN (GEGLU MLP) — every SD2.1 transformer site, batch-2
+    # CFG row counts (N = 2 * tokens) ----
+    from diffbir_tpu.ops.fused_ffn import _fused_ffn_impl
+
+    for tokens, d in ((4096, 320), (1024, 640), (256, 1280)):
+        inner = d * 4
+        check(
+            f"fused_ffn N={2*tokens} d={d}", _fused_ffn_impl,
+            z((2 * tokens, d)), z((d, inner * 2), jnp.float32),
+            z((inner * 2,), jnp.float32), z((inner, d), jnp.float32),
+            z((d,), jnp.float32),
+        )
+    # 1024^2 tiled site (4096 tokens at d=640) + a ragged row count
+    check("fused_ffn N=8192 d=640", _fused_ffn_impl,
+          z((8192, 640)), z((640, 5120), jnp.float32),
+          z((5120,), jnp.float32), z((2560, 640), jnp.float32),
+          z((640,), jnp.float32))
+    check("fused_ffn ragged N=6600 d=320", _fused_ffn_impl,
+          z((6600, 320)), z((320, 2560), jnp.float32),
+          z((2560,), jnp.float32), z((1280, 320), jnp.float32),
+          z((320,), jnp.float32))
+
     print(f"\n{len(FAILS)} failures" if FAILS else "\nall kernels lower for tpu")
     sys.exit(1 if FAILS else 0)
 

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from diffbir_tpu.models.cldm import ControlLDM
 
 SIZE = int(os.environ.get("BENCH_SIZE", 512))
+TINY = os.environ.get("BENCH_TINY", "0") == "1"  # CPU smoke of every flag path
 N_INNER = 10  # chained steps inside one jit to hide dispatch latency
+CTX_DIM = 64 if TINY else 1024
 
 
 def _bf16(tree):
@@ -44,7 +46,7 @@ def time_step(cldm, params, label, use_control=True):
     lat = SIZE // 8
     x = jax.random.normal(jax.random.PRNGKey(0), (2, lat, lat, 4), jnp.float32)
     c = {
-        "c_txt": jnp.zeros((2, 77, 1024), jnp.bfloat16),
+        "c_txt": jnp.zeros((2, 77, CTX_DIM), jnp.bfloat16),
         "c_img": jnp.zeros((2, lat, lat, 4), jnp.float32),
     }
     t = jnp.full((2,), 500.0)
@@ -136,7 +138,8 @@ def main():
     import diffbir_tpu.models.layers as layers_mod
 
     print(f"# device: {jax.devices()[0]}")
-    cldm = ControlLDM.sd21(dtype=jnp.bfloat16)
+    cldm = (ControlLDM.tiny(dtype=jnp.bfloat16) if TINY
+            else ControlLDM.sd21(dtype=jnp.bfloat16))
     lat = SIZE // 8
     params = _bf16(
         jax.jit(cldm.init_params, static_argnums=1)(jax.random.PRNGKey(0), (lat, lat))
@@ -187,6 +190,14 @@ def main():
             h, gate = jnp.split(h, 2, axis=-1)
             return h * gate
 
+        # fused GEGLU-MLP Pallas kernel A/B (ops/fused_ffn.py; opt-in env
+        # read at trace time — each time_step builds a fresh jit)
+        os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"
+        fused = time_step(cldm, params, "fused-ffn kernel (pallas)")
+        os.environ.pop("DIFFBIR_TPU_FUSED_FFN", None)
+        print(f"{'-> fused-ffn delta (neg = win)':42s} "
+              f"{(fused - full) * 1e3:8.2f} ms")
+
         geglu_nogelu = nn.compact(geglu_nogelu)
         with patched(unet_mod.GEGLU, "__call__", geglu_nogelu):
             no_gelu = time_step(cldm, params, "geglu gelu -> mul only")
@@ -203,7 +214,7 @@ def main():
         shutil.rmtree(logdir, ignore_errors=True)
         lat = SIZE // 8
         x = jax.random.normal(jax.random.PRNGKey(0), (2, lat, lat, 4), jnp.float32)
-        c = {"c_txt": jnp.zeros((2, 77, 1024), jnp.bfloat16),
+        c = {"c_txt": jnp.zeros((2, 77, CTX_DIM), jnp.bfloat16),
              "c_img": jnp.zeros((2, lat, lat, 4), jnp.float32)}
         t = jnp.full((2,), 500.0)
 

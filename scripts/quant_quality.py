@@ -41,7 +41,93 @@ from diffbir_tpu.utils.common import psnr, ssim, wavelet_reconstruction
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
-from turbo_quality import make_lq  # noqa: E402  (same synthetic protocol)
+from turbo_quality import make_lq, train_tiny_stage2  # noqa: E402
+
+
+def trained_tiny_mode(args):
+    """VERDICT r4 #7: the full-size drift bound is random-init-only. This
+    mode re-grounds the int8 quality accounting on an actually-TRAINED tiny
+    ControlLDM (shared recipe: turbo_quality.train_tiny_stage2) — same-seed
+    quant-vs-bf16 outputs on trained weights. Writes a "trained_tiny"
+    section into QUANT_QUALITY.json next to the full-size numbers."""
+    size = 64
+    cldm, schedule, sampler, params, first, last = train_tiny_stage2(
+        args.train_steps, size
+    )
+    qcldm = ControlLDM.tiny(quant_dense=True)
+    ccldm = ControlLDM.tiny(fused_resblock=True, quant_conv=True)
+    acldm = ControlLDM.tiny(quant_dense=True, fused_resblock=True,
+                            quant_conv=True)
+    variants = {
+        "bf16": (cldm, params),
+        "int8": (qcldm, quantize_dense_params(params)),
+        "int8conv": (ccldm, quantize_conv_params(params)),
+        "int8all": (acldm, quantize_conv_params(quantize_dense_params(params))),
+    }
+    tokens = jnp.zeros((1, 77), jnp.int32)
+
+    def make_fn(model):
+        def restore(p, lq, rng):
+            cond_img = lq  # identity cleaner at tiny scale
+            cond = model.prepare_condition(p, cond_img, tokens)
+            uncond = model.prepare_condition(p, cond_img, tokens)
+            k1, k2 = jax.random.split(rng)
+            x_T = jax.random.normal(k1, cond["c_img"].shape, jnp.float32)
+            model_fn = lambda x, t, c: model(p, x, t, c)  # noqa: E731
+            z = sampler.sample(model_fn, x_T, cond, uncond, 4.0, args.steps, k2)
+            out = wavelet_reconstruction(
+                (model.vae_decode(p, z) + 1) / 2, cond_img)
+            return jnp.clip(out, 0, 1)
+
+        return jax.jit(restore)
+
+    lqs = [jnp.asarray(make_lq(7 + i, size)) for i in range(args.images)]
+    outputs = {}
+    for tag, (model, p) in variants.items():
+        fn = make_fn(model)
+        outputs[tag] = [
+            np.asarray(fn(p, lq, jax.random.PRNGKey(100 + i))
+                       .astype(jnp.float32))
+            for i, lq in enumerate(lqs)
+        ]
+        print(f"trained-tiny {tag}: done", flush=True)
+
+    base = outputs["bf16"]
+    rows = {}
+    for tag in ("int8", "int8conv", "int8all"):
+        probe = float(np.abs(outputs[tag][0] - base[0]).max())
+        assert probe > 1e-7, f"{tag} bit-identical to bf16 — not engaged?"
+        ps = [float(psnr(jnp.asarray(o), jnp.asarray(b))[0])
+              for o, b in zip(outputs[tag], base)]
+        ss = [float(ssim(jnp.asarray(o), jnp.asarray(b))[0])
+              for o, b in zip(outputs[tag], base)]
+        rows[tag] = {
+            "psnr_vs_bf16_db": round(float(np.mean(ps)), 2),
+            "psnr_min_db": round(float(np.min(ps)), 2),
+            "ssim_vs_bf16": round(float(np.mean(ss)), 4),
+        }
+        print(tag, json.dumps(rows[tag]), flush=True)
+
+    path = os.path.join(REPO, "QUANT_QUALITY.json")
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    doc["trained_tiny"] = {
+        "protocol": {
+            "model": "ControlLDM.tiny, stage-2 trained "
+                     f"({args.train_steps} steps, loss {first:.3f} -> "
+                     f"{last:.3f})",
+            "size": size, "steps": args.steps, "sampler": "spaced",
+            "cfg": 4.0, "images": args.images,
+            "note": "same-seed quant-vs-bf16 on TRAINED tiny weights; "
+                    "complements the full-size random-init section",
+        },
+        "results": rows,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print("wrote QUANT_QUALITY.json (trained_tiny section)")
 
 
 def main():
@@ -51,7 +137,15 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny models (CPU smoke; numbers not meaningful)")
+    ap.add_argument("--trained_tiny", action="store_true",
+                    help="train a tiny ControlLDM first, then measure "
+                    "quant-vs-bf16 drift on the TRAINED weights")
+    ap.add_argument("--train_steps", type=int, default=150)
     args = ap.parse_args()
+
+    if args.trained_tiny:
+        trained_tiny_mode(args)  # tiny scale — runs fine on CPU or chip
+        return
 
     schedule = Schedule.create(
         timesteps=1000, beta_schedule="linear", linear_start=0.00085,
