@@ -122,9 +122,15 @@ def ssim(a: jax.Array, b: jax.Array) -> jax.Array:
 
     c1, c2 = 0.01**2, 0.03**2
     mu_a, mu_b = blur(a), blur(b)
-    var_a = blur(a * a) - mu_a**2
-    var_b = blur(b * b) - mu_b**2
+    # fp32 E[x^2]-E[x]^2 can go slightly negative on near-identical inputs,
+    # reporting SSIM marginally > 1 (seen at 1.0005 on the trained-tiny
+    # quant accounting) — clamp the variance estimates at 0
+    var_a = jnp.maximum(blur(a * a) - mu_a**2, 0.0)
+    var_b = jnp.maximum(blur(b * b) - mu_b**2, 0.0)
     cov = blur(a * b) - mu_a * mu_b
+    # Cauchy-Schwarz bound, also broken only by float error
+    bound = jnp.sqrt(var_a * var_b)
+    cov = jnp.clip(cov, -bound, bound)
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
         (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
     )

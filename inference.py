@@ -133,11 +133,26 @@ def parse_args() -> Namespace:
                         "traffic and brings the 2560-in decoder sites under "
                         "the VMEM budget)")
     p.add_argument("--llava_bit", type=str, default="4", choices=["16", "8", "4"])
+    p.add_argument("--fused_ffn", action="store_true",
+                   help="Pallas fused GEGLU-MLP serving mode: each "
+                        "transformer FFN runs as one kernel with the (N,8d) "
+                        "intermediates pinned in VMEM (ops/fused_ffn.py; "
+                        "opt-in until the on-chip step A/B proves it)")
     return p.parse_args()
+
+
+def apply_serving_env(args) -> None:
+    """Translate opt-in serving flags that dispatch via env (read at trace
+    time) into the environment before any model is traced."""
+    import os
+
+    if getattr(args, "fused_ffn", False):
+        os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"
 
 
 def main():
     args = parse_args()
+    apply_serving_env(args)
     if args.device == "cpu":
         import jax
 
