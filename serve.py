@@ -32,6 +32,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -203,10 +204,15 @@ def main():
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--fused_ffn", action="store_true",
+                    help="Pallas fused GEGLU-MLP serving mode "
+                         "(sets DIFFBIR_TPU_FUSED_FFN=1; see ops/fused_ffn.py)")
     ap.add_argument("--quant_dense", action="store_true",
                     help="int8 weight-only UNet/ControlNet dense sites")
     ap.add_argument("--tasks", default="sr", help="comma list: sr,face")
     args = ap.parse_args()
+    if args.fused_ffn:
+        os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"  # read at trace time
 
     import run_gradio
 
