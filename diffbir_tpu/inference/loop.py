@@ -155,8 +155,15 @@ class InferenceLoop:
                 if f.lower().endswith(img_exts)
             )
         )
+        skip = getattr(self.args, "skip_existing", False)
         for path in files:
-            self.loop_ctx["file_stem"] = os.path.splitext(os.path.basename(path))[0]
+            stem = os.path.splitext(os.path.basename(path))[0]
+            if skip and self.args.n_samples == 1 and os.path.exists(
+                os.path.join(self.save_dir, f"{stem}.png")
+            ):
+                print(f"[loop] skip {stem} (exists)", flush=True)
+                continue
+            self.loop_ctx["file_stem"] = stem
             yield Image.open(path).convert("RGB")
 
     def after_load_lq(self, lq: Image.Image) -> np.ndarray:

@@ -401,12 +401,28 @@ class ControlLDM:
         ``ctx_full`` must be the context the model will actually see per
         step — the CFG-concatenated [2B, 77, 1024] under batched CFG
         (sampler/base.py::cfg_model_call concatenates [cond, uncond])."""
+        return self.hoist_lookup_from(
+            self.make_hoist_tables(params, ctx_full, model_ts)
+        )
+
+    def make_hoist_tables(self, params: Params, ctx_full: jax.Array, model_ts=None):
+        """Pure pytree of the hoisted invariants — jit-traceable AND
+        returnable from a jit, so a chunked-dispatch pipeline can compute
+        them once in a prep dispatch and feed every scan segment."""
         hoisted_kv = self.hoist_context_kv(params, ctx_full)
         emb_tables = hoist_ts = None
         if model_ts is not None:
             ts_asc = np.unique(np.asarray(model_ts, np.float32))
             emb_tables = self.hoist_emb_tables(params, ts_asc)
             hoist_ts = jnp.asarray(ts_asc)
+        return {"kv": hoisted_kv, "emb": emb_tables, "ts": hoist_ts}
+
+    @staticmethod
+    def hoist_lookup_from(tables):
+        """``lookup(t)`` closure over a ``make_hoist_tables`` pytree."""
+        hoisted_kv, emb_tables, hoist_ts = (
+            tables["kv"], tables["emb"], tables["ts"]
+        )
 
         def lookup(t):
             hoisted = hoisted_kv

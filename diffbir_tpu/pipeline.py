@@ -110,7 +110,7 @@ class Pipeline:
          vae_enc_tiled, vae_enc_tile, vae_dec_tiled, vae_dec_tile,
          vae_tile_mode, cldm_tiled, cldm_tile, cldm_stride,
          cldm_tiles_per_batch, control_interval, turbo_encoder,
-         _guidance_fp) = key
+         _guidance_fp, n_seg) = key
         # scan-invariant hoisting (exact math; see base_model_fn below).
         # Read at build time and folded into the cache key so an in-process
         # env flip (bench A/B) can't serve a stale program.
@@ -144,6 +144,16 @@ class Pipeline:
         # (applies to BOTH the tiled encoder and the tiled decoder)
         eff_tile_mode = vae_tile_mode if bs == 1 else "blend"
         enc_tile_mode = eff_tile_mode
+
+        if n_seg > 1:
+            fn = self._chunked_generate_fn(
+                sampler, steps, strength, cfg_scale, start_point_type,
+                noise_aug, use_cfg, cond_fn, hoist, n_seg,
+                vae_enc_tiled, vae_enc_tile, enc_tile_mode,
+                vae_dec_tiled, vae_dec_tile, eff_tile_mode, bs,
+            )
+            self._generate_cache[key] = fn
+            return fn
 
         def generate(params, cond_img, pos_tok, neg_tok, rng):
             h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
@@ -300,6 +310,144 @@ class Pipeline:
         return fn
 
     # ------------------------------------------------------------------ #
+    def _chunked_generate_fn(
+        self, sampler, steps, strength, cfg_scale, start_point_type,
+        noise_aug, use_cfg, cond_fn, hoist, n_seg,
+        vae_enc_tiled, vae_enc_tile, enc_tile_mode,
+        vae_dec_tiled, vae_dec_tile, eff_tile_mode, bs,
+    ):
+        """The stage-2 program split into prep / n_seg scan segments /
+        decode dispatches with host syncs between — same math as
+        ``generate`` (same ops in the same order, rng chain threaded
+        through the carry), but no single dispatch runs long enough to
+        trip the axon worker's execution watchdog (~100 s; bisected in
+        scripts/repro_monster.py, r5). Spaced sampler only."""
+        cldm, schedule = self.cldm, self.schedule
+
+        def prep(params, cond_img, pos_tok, neg_tok, rng):
+            h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+            cond = cldm.prepare_condition(
+                params, cond_img, pos_tok, tiled=vae_enc_tiled,
+                tile_size=vae_enc_tile, tile_mode=enc_tile_mode,
+            )
+            uncond = (
+                cldm.prepare_condition(
+                    params, cond_img, neg_tok, tiled=vae_enc_tiled,
+                    tile_size=vae_enc_tile, tile_mode=enc_tile_mode,
+                )
+                if use_cfg
+                else None
+            )
+            cond = {**cond, "c_img": pad_to_multiples_of(cond["c_img"], 8)}
+            if uncond is not None:
+                uncond = {
+                    **uncond, "c_img": pad_to_multiples_of(uncond["c_img"], 8)
+                }
+            h2, w2 = cond["c_img"].shape[1:3]
+            clean_c_img = cond["c_img"]
+            rng, k_start, k_aug, k_sample = jax.random.split(rng, 4)
+            if start_point_type == "cond":
+                x_0 = cond["c_img"]
+                t_last = jnp.full((bs,), schedule.num_timesteps - 1, jnp.int32)
+                x_T = schedule.q_sample(
+                    x_0, t_last,
+                    jax.random.normal(k_start, x_0.shape, jnp.float32),
+                )
+            else:
+                x_T = jax.random.normal(k_start, (bs, h2, w2, 4), jnp.float32)
+            if noise_aug > 0:
+                t_aug = jnp.full((bs,), noise_aug, jnp.int32)
+                c_img = schedule.q_sample(
+                    cond["c_img"], t_aug,
+                    jax.random.normal(k_aug, cond["c_img"].shape, jnp.float32),
+                )
+                cond = {**cond, "c_img": c_img}
+                if uncond is not None:
+                    uncond = {**uncond, "c_img": c_img}
+            hoist_tables = None
+            if hoist:
+                ctx_full = (
+                    cond["c_txt"] if uncond is None
+                    else jnp.concatenate(
+                        [cond["c_txt"], uncond["c_txt"]], axis=0
+                    )
+                )
+                hoist_tables = cldm.make_hoist_tables(
+                    params, ctx_full, sampler.model_ts(steps)
+                )
+            g_target = None
+            if cond_fn is not None:
+                g_target = (
+                    cond_img * 2.0 - 1.0
+                    if getattr(cond_fn, "space", "latent") == "rgb"
+                    else clean_c_img
+                )
+            return cond, uncond, x_T, k_sample, hoist_tables, g_target
+
+        def segment(params, carry, tables, cond, uncond, hoist_tables,
+                    g_target):
+            if hoist_tables is not None:
+                lookup = cldm.hoist_lookup_from(hoist_tables)
+
+                def model_fn(x, t, c):
+                    return cldm(params, x, t, c, control_scales=strength,
+                                hoisted=lookup(t))
+            else:
+                def model_fn(x, t, c):
+                    return cldm(params, x, t, c, control_scales=strength)
+
+            guide = None
+            if cond_fn is not None:
+                if getattr(cond_fn, "space", "latent") == "rgb":
+                    from .utils.cond_fn import RGBSpaceGuidance
+
+                    guide = RGBSpaceGuidance(
+                        cond_fn, lambda z: cldm.vae_decode(params, z)
+                    )
+                else:
+                    guide = cond_fn
+            return sampler.scan_tables(
+                model_fn, carry, tables, cond, uncond,
+                cond_fn=guide, guidance_target=g_target,
+            )
+
+        def decode(params, z, h1, w1):
+            z = z[:, :h1, :w1, :]
+            return cldm.vae_decode(
+                params, z, tiled=vae_dec_tiled, tile_size=vae_dec_tile // 8,
+                tile_mode=eff_tile_mode,
+            )
+
+        prep_j = jax.jit(prep)
+        seg_j = jax.jit(segment)
+        dec_j = jax.jit(decode, static_argnums=(2, 3))
+        tables_np = sampler.make_tables(steps, cfg_scale, cond_fn)
+        base, rem = divmod(steps, n_seg)
+        sizes = [base + 1] * rem + [base] * (n_seg - rem)
+
+        def run(params, cond_img, pos_tok, neg_tok, rng):
+            h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+            cond, uncond, x_T, k_sample, htab, g_target = prep_j(
+                params, cond_img, pos_tok, neg_tok, rng
+            )
+            jax.block_until_ready(x_T)
+            carry = (x_T, k_sample, None)
+            lo = 0
+            for sz in sizes:
+                tbl = {
+                    k: jnp.asarray(v[lo:lo + sz])
+                    for k, v in tables_np.items()
+                }
+                carry = seg_j(
+                    params, carry, tbl, cond, uncond, htab, g_target
+                )
+                jax.block_until_ready(carry[0])
+                lo += sz
+            return dec_j(params, carry[0], h1, w1)
+
+        return run
+
+    # ------------------------------------------------------------------ #
     def apply_cldm(
         self,
         cond_img: jax.Array,
@@ -351,6 +499,44 @@ class Pipeline:
         if vae_encoder_tiled and vae_encoder_tile_size % 8 != 0:
             raise ValueError("VAE encoder tile size must be a multiple of 8")
         h1, w1 = cond_img.shape[1] // 8, cond_img.shape[2] // 8
+        # Dispatch-duration envelope: single XLA dispatches past ~100 s
+        # deterministically kill the axon TPU worker (r4b + r5 fidelity
+        # dry-runs at the 81920-token bucket; bisect in
+        # scripts/repro_monster.py — the 10-step scan passes, the 50-step
+        # one crashes, every component shape passes in isolation per
+        # STRESS_FLASH.json). Largest PROVEN single scan is 36864 tokens x
+        # 50 steps (~50 s); above that budget, split the denoise into
+        # several bounded dispatches with the carry threaded through on
+        # host — EXACT math (same ops, same order, same rng chain), unlike
+        # the tiling fallback. Spaced sampler only for now. 0 disables.
+        budget = int(
+            os.environ.get("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", str(36864 * 50))
+        )
+        n_seg = 1
+        if (budget > 0 and sampler_type == "spaced" and not cldm_tiled
+                and control_interval == 1 and h1 * w1 * steps > budget):
+            max_chunk = max(1, budget // (h1 * w1))
+            n_min = -(-steps // max_chunk)
+            # prefer an even split (one compiled segment length); a prime
+            # step count pays a second specialization for the short tail
+            n_seg = next(
+                (n for n in range(n_min, steps + 1) if steps % n == 0),
+                n_min,
+            )
+            print(f"[pipeline] {h1 * w1} latent tokens x {steps} steps > "
+                  f"{budget} token-step dispatch budget: splitting the "
+                  f"denoise into {n_seg} dispatches", flush=True)
+        # Serving envelope cap (samplers without a chunked driver): fall
+        # back to per-step latent tiling — the measured, memory-bounded
+        # path (scripts/bench_highres.py). 0 disables.
+        max_tok = int(os.environ.get("DIFFBIR_TPU_MAX_COND_TOKENS", "40960"))
+        if (max_tok > 0 and not cldm_tiled and n_seg == 1
+                and control_interval == 1 and h1 * w1 > max_tok
+                and h1 >= cldm_tile_size // 8 and w1 >= cldm_tile_size // 8):
+            print(f"[pipeline] {h1 * w1} latent tokens > cap {max_tok}: "
+                  f"auto-tiling the diffusion (tile {cldm_tile_size} "
+                  f"stride {cldm_tile_stride})", flush=True)
+            cldm_tiled = True
         if cldm_tiled and (h1 < cldm_tile_size // 8 or w1 < cldm_tile_size // 8):
             cldm_tiled = False
         if cldm_tiled and cldm_tile_size % 64 != 0:
@@ -380,6 +566,7 @@ class Pipeline:
                 str(getattr(self.cond_fn, "space", "latent")),
                 int(self.cond_fn.repeat),
             ),
+            int(n_seg),
         )
         fn = self._generate_fn(key)
         x = fn(self.params, cond_img, pos_tok, neg_tok, rng)

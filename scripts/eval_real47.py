@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--cfg_scale", type=float, default=4.0)
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=231)
+    ap.add_argument("--skip_existing", action="store_true",
+                    help="resume: skip inputs whose output png already "
+                    "exists (mid-run TPU crash recovery)")
     ap.add_argument("--size_bucket", type=int, default=0,
                     help="static-shape bucketing (pad the stage-2 condition "
                     "image to multiples of N px, crop back; LQ only to x64); "
@@ -53,7 +56,7 @@ def main():
         cfg_scale=args.cfg_scale, strength=1.0, start_point_type="noise",
         sampler=args.sampler, noise_aug=0, rescale_cfg=False,
         cleaner_tiled=False, cleaner_tile_size=512, cleaner_tile_stride=256,
-        size_bucket=args.size_bucket,
+        size_bucket=args.size_bucket, skip_existing=args.skip_existing,
     )
     loop = BSRInferenceLoop(loop_args)
     loop.run()

@@ -37,6 +37,9 @@ def main():
                     "eval_real47 (31 distinct real47 sizes -> ~25 XLA "
                     "programs at the exact x64 padding vs 7 at bucket=512). "
                     "Keep 0 for the fidelity verdict; use 512 for --dryrun")
+    ap.add_argument("--resume", action="store_true",
+                    help="forward --skip_existing to eval_real47 (crash "
+                    "recovery: only restore missing outputs)")
     ap.add_argument("--dryrun", action="store_true",
                     help="run the full harness with RANDOM-INIT weights "
                     "(DIFFBIR_TPU_RANDOM_INIT=1): proves the one-command "
@@ -71,6 +74,8 @@ def main():
         "--cfg_scale", "4.0", "--version", "v2.1", "--upscale", "4",
         "--size_bucket", str(args.size_bucket),
     ]
+    if args.resume:
+        cmd += ["--skip_existing"]
     if args.ref_outputs:
         cmd += ["--ref", args.ref_outputs]
     print(" ".join(cmd), flush=True)

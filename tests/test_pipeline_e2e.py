@@ -222,3 +222,89 @@ def test_e2e_dpm_adaptive(tiny_pipe):
     )
     assert out.shape == (1, 64, 64, 3) and out.dtype == np.uint8
     assert np.all(np.isfinite(out.astype(np.float32)))
+
+
+def test_e2e_token_cap_auto_tiles(tiny_pipe, monkeypatch, capsys):
+    """Above DIFFBIR_TPU_MAX_COND_TOKENS the diffusion auto-switches to
+    per-step latent tiling (serving-envelope cap: the 81920-token single
+    program deterministically killed the axon TPU worker during remote
+    compile — r4b + r5 fidelity dry-runs; STRESS_FLASH.json clears every
+    component shape in isolation)."""
+    lq = np.random.default_rng(3).integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    base = tiny_pipe.run(lq, steps=2, cfg_scale=1.5, sampler_type="spaced", seed=5)
+    # 128x128 cond -> 16x16 latent = 256 tokens; cap of 128 forces tiling
+    monkeypatch.setenv("DIFFBIR_TPU_MAX_COND_TOKENS", "128")
+    out = tiny_pipe.run(
+        lq, steps=2, cfg_scale=1.5, sampler_type="spaced", seed=5,
+        cldm_tile_size=64, cldm_tile_stride=32,
+    )
+    assert "auto-tiling the diffusion" in capsys.readouterr().out
+    assert out.shape == base.shape == (1, 128, 128, 3)
+    # cap off -> no tiling message
+    monkeypatch.setenv("DIFFBIR_TPU_MAX_COND_TOKENS", "0")
+    tiny_pipe.run(lq, steps=2, cfg_scale=1.5, sampler_type="spaced", seed=5)
+    assert "auto-tiling" not in capsys.readouterr().out
+
+
+def test_e2e_chunked_dispatch_exact(tiny_pipe, monkeypatch, capsys):
+    """DIFFBIR_TPU_DISPATCH_TOKEN_STEPS splits the denoise scan into
+    bounded-duration dispatches (axon worker watchdog kills single
+    dispatches past ~100 s — r5 bisect, scripts/repro_monster.py).
+    Chunking must be EXACT vs the single-scan program: same ops, same
+    order, same rng chain threaded through the carry. (The sampler-level
+    segment scan is bit-identical; end-to-end we allow 1 uint8 level —
+    XLA compiles the split programs with slightly different fusions than
+    the monolithic one, a last-ulp effect at the quantization boundary.)"""
+
+    def assert_1lsb(a, b):
+        assert int(np.max(np.abs(a.astype(int) - b.astype(int)))) <= 1
+    lq = np.random.default_rng(4).integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "0")
+    base = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type="spaced", seed=9)
+    # 16x16 latent = 256 tokens; budget 512 -> max 2 steps/dispatch -> 3 segs
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "512")
+    out = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type="spaced", seed=9)
+    assert "splitting the denoise into 3 dispatches" in capsys.readouterr().out
+    assert_1lsb(out, base)
+    # noise_aug + start_point=cond path through the chunked prep
+    out2 = tiny_pipe.run(
+        lq, steps=6, cfg_scale=2.0, sampler_type="spaced", seed=9,
+        start_point_type="cond", noise_aug=5,
+    )
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "0")
+    base2 = tiny_pipe.run(
+        lq, steps=6, cfg_scale=2.0, sampler_type="spaced", seed=9,
+        start_point_type="cond", noise_aug=5,
+    )
+    assert_1lsb(out2, base2)
+
+
+def test_spaced_scan_tables_segments_bitexact():
+    """Sampler-level guarantee: scan_tables over table slices with the
+    carry threaded through is BIT-identical to one sample() call."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffbir_tpu.sampler.spaced import SpacedSampler
+
+    sch = Schedule.create(timesteps=100, parameterization="eps")
+    s = SpacedSampler(sch.betas, sch.parameterization, False)
+
+    def model_fn(x, t, c):
+        return 0.1 * x + 0.01 * t[:, None, None, None] + c["c_img"] * 0.001
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4), jnp.float32)
+    cond = {"c_img": jnp.ones((1, 8, 8, 4))}
+    unc = {"c_img": jnp.ones((1, 8, 8, 4)) * 0.5}
+    rng = jax.random.PRNGKey(7)
+    base = jax.jit(
+        lambda xT, r: s.sample(model_fn, xT, cond, unc, 2.0, 7, r)
+    )(x_T, rng)
+    tables_np = s.make_tables(7, 2.0, None)
+    seg = jax.jit(lambda carry, tbl: s.scan_tables(model_fn, carry, tbl, cond, unc))
+    carry, lo = (x_T, rng, None), 0
+    for sz in (3, 2, 2):  # uneven split exercises both segment lengths
+        tbl = {k: jnp.asarray(v[lo:lo + sz]) for k, v in tables_np.items()}
+        carry = seg(carry, tbl)
+        lo += sz
+    np.testing.assert_array_equal(np.asarray(carry[0]), np.asarray(base))
