@@ -260,10 +260,19 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         d = QuantDense if self.quant else dense
         h = d(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate, approximate=False)
+        # exact erf gelu is reference parity (attention.py:66) — but it is
+        # transcendental-bound on the VPU: 1.67 ms of the 26.4 ms step
+        # (scripts/profile_step_ablation.py --ffn_ablation, r5 on-chip).
+        # DIFFBIR_TPU_FAST_GELU=1 opts into the tanh approximation
+        # (error ~1e-3 relative, the bf16 rounding scale) as a measured,
+        # drift-accounted turbo knob. Read at trace time.
+        approx = os.environ.get("DIFFBIR_TPU_FAST_GELU", "0") == "1"
+        return h * nn.gelu(gate, approximate=approx)
 
 
 class _KernelBias(nn.Module):

@@ -138,6 +138,11 @@ def parse_args() -> Namespace:
                         "transformer FFN runs as one kernel with the (N,8d) "
                         "intermediates pinned in VMEM (ops/fused_ffn.py; "
                         "opt-in until the on-chip step A/B proves it)")
+    p.add_argument("--fast_gelu", action="store_true",
+                   help="tanh-approximate GELU in the transformer FFNs "
+                        "(exact erf is 1.67 ms of the 26.4 ms denoise step "
+                        "on v5e — VPU transcendental-bound; drift is at the "
+                        "bf16 rounding scale, measured in TURBO_QUALITY)")
     return p.parse_args()
 
 
@@ -148,6 +153,8 @@ def apply_serving_env(args) -> None:
 
     if getattr(args, "fused_ffn", False):
         os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"
+    if getattr(args, "fast_gelu", False):
+        os.environ["DIFFBIR_TPU_FAST_GELU"] = "1"
 
 
 def main():

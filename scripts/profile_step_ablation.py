@@ -181,15 +181,6 @@ def main():
             no_ln = time_step(cldm, params, "layernorms -> identity")
         print(f"{'-> layernorm share':42s} {(full - no_ln) * 1e3:8.2f} ms")
 
-        # GEGLU nonlinearity only (keep both matmuls): gelu -> identity
-        import flax.linen as nn
-
-        def geglu_nogelu(self, x):
-            d = unet_mod.QuantDense if self.quant else unet_mod.dense
-            h = d(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
-            h, gate = jnp.split(h, 2, axis=-1)
-            return h * gate
-
         # fused GEGLU-MLP Pallas kernel A/B (ops/fused_ffn.py; opt-in env
         # read at trace time — each time_step builds a fresh jit)
         os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"
@@ -198,8 +189,12 @@ def main():
         print(f"{'-> fused-ffn delta (neg = win)':42s} "
               f"{(fused - full) * 1e3:8.2f} ms")
 
-        geglu_nogelu = nn.compact(geglu_nogelu)
-        with patched(unet_mod.GEGLU, "__call__", geglu_nogelu):
+        # GEGLU nonlinearity only (keep both matmuls): gelu -> identity.
+        # Patch the nn.gelu BINDING inside unet (GEGLU is its only gelu
+        # call site) — patching a @nn.compact method after class creation
+        # breaks flax's scope binding (params land in the parent scope).
+        with patched(unet_mod.nn, "gelu",
+                     lambda x, approximate=False: x):
             no_gelu = time_step(cldm, params, "geglu gelu -> mul only")
         print(f"{'-> gelu share':42s} {(full - no_gelu) * 1e3:8.2f} ms")
         return
