@@ -13,12 +13,22 @@ in VMEM: HBM traffic drops from ~(2*8d + 2*4d + 2d)*N*2 bytes to
 (2d)*N*2 + weights. At the 512^2 top-level site (N=8192, d=320) that is
 ~125 MB -> ~10 MB per call.
 
-Fused-ResBlock lesson (ops/fused_resblock.py dead-end header) applies: a
-pallas_call is an optimization barrier, so per-site wins can lose e2e.
-This kernel therefore stays OPT-IN (DIFFBIR_TPU_FUSED_FFN=1) until a
-step-level A/B on chip proves it; unlike the ResBlock, its boundary
-neighbors are only a LayerNorm read and a residual add — far less
-neighbor fusion at risk.
+**MEASURED E2E DEAD END (r5 on-chip, TPU_RUNBOOK_r5.json)** — the
+step-level A/B: +4.60 ms/step (31.00 vs 26.40 ms), bench 1.478 vs
+1.2596 s/image. The fused-ResBlock lesson (ops/fused_resblock.py
+dead-end header) repeats a second time: a pallas_call is an
+optimization barrier, and the lost neighbor fusion + per-call grid
+overhead eat the HBM-traffic saving even though the FFN's boundary
+neighbors are only a LayerNorm read and a residual add. With the
+r5 ablation showing the whole FFN share is just 3.95 ms/step, the
+theoretical ceiling never justified the boundary cost. Kept OPT-IN
+(DIFFBIR_TPU_FUSED_FFN=1) as the third data point in the fused-block
+evidence line (ResBlock x2 sessions, FFN x1): do NOT attempt the
+whole-BasicTransformerBlock kernel on this toolchain without first
+fixing the boundary-cost problem itself. The measured WIN against the
+same transcendental-bound budget is DIFFBIR_TPU_FAST_GELU
+(models/unet.py GEGLU): 1.2596 -> 1.178 s/image, drift-accounted in
+GELU_QUALITY.json.
 
 Grid: (row_blocks,); weights use constant index maps so Mosaic keeps them
 resident in VMEM across the row sweep. fp32 accumulation in both dots,

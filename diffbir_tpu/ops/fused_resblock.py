@@ -44,8 +44,19 @@ NOT pay on this model at these shapes; the win the microbench shows is
 real only for the block in isolation. The kernel stays for (i) the int8
 conv path, (ii) shapes/batches where occupancy changes the balance, but it
 is demoted from the bench matrix and must never become the default without
-a fresh two-session e2e win. Root-cause bisect (single-best-site-only
-config) is queued in the r4 runbook to close candidate (b) vs (a).
+a fresh two-session e2e win.
+
+Bisect CLOSED (r5 on-chip, TPU_RUNBOOK_r5.json): single-best-site-only
+(MIN_WIN=1.7, just the x1.70 (2560,1280,256) site) measures 1.4023 s e2e
+and the two-site config (MIN_WIN=1.4) measures 1.4033 s — statistically
+the SAME loss as the full config (1.398-1.463 across sessions). One
+pallas call anywhere in the denoise scan costs ~0.14 s/image and adding
+sites does not compound: the penalty is a FIXED structural cost —
+candidate (a), the optimization barrier, specifically the scan-body-level
+scheduling/pipelining XLA gives up around any custom call — not (b)
+noisy site tables. This also predicted the fused-FFN kernel's +4.6
+ms/step loss (ops/fused_ffn.py, r5) and rules out the
+whole-BasicTransformerBlock kernel on this toolchain.
 """
 
 from __future__ import annotations
