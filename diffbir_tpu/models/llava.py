@@ -294,10 +294,14 @@ def init_llama_params(rng: np.random.Generator, cfg: LlamaConfig) -> Dict:
     (~26 GB) must live on the 125 GB host, not the 16 GB v5e HBM
     (scripts/bench_llava.py synthetic mode)."""
     def lin(k_in, k_out, bias=False):
+        # divide BEFORE the cast: f32_array / np.float64_scalar promotes the
+        # whole kernel to float64 under NEP 50 — at 7B that silently doubled
+        # the host tree to ~52 GB and defeated the bench's bf16 cast
+        # (dtype==float32 miss -> 24.86 GB of f32 args on a 15.75 GB chip,
+        # the r5 bf16-variant compile OOM)
         d = {"kernel": (
-            rng.standard_normal((k_in, k_out)).astype(np.float32)
-            / np.sqrt(k_in)
-        )}
+            rng.standard_normal((k_in, k_out)) / np.sqrt(k_in)
+        ).astype(np.float32)}
         if bias:
             d["bias"] = np.zeros((k_out,), np.float32)
         return d

@@ -25,6 +25,10 @@ def main():
                     help="prefill length (image tokens + text)")
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--dim", type=int, default=4096)
+    ap.add_argument("--variants", default="int4,int8,bf16",
+                    help="comma list; at 7B run ONE per process — the host "
+                    "tree is 26 GB fp32 and per-variant copies accumulate "
+                    "(the r5 all-three run OOM-killed the host at 130 GB)")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +60,8 @@ def main():
             "int8": lambda: L.quantize_llama_params(params, bits=8, host=True),
             "bf16": lambda: jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                if hasattr(x, "dtype")
+                and np.issubdtype(x.dtype, np.floating) else x,
                 params,
             ),
         }
@@ -68,6 +73,8 @@ def main():
         jnp.bfloat16,
     )
 
+    want = set(args.variants.split(","))
+    variants = {k: v for k, v in variants.items() if k in want}
     for name, build in variants.items():
         # Weights live on HOST until here. device_put ONE variant at a time:
         # passing host numpy trees into jit would re-transfer up to 14 GB

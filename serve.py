@@ -204,6 +204,10 @@ def main():
     ap.add_argument("--upscale", type=float, default=4.0)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--fast_gelu", action="store_true",
+                    help="tanh-approx GELU serving mode: 1.178 vs 1.2596 "
+                         "s/image on v5e, drift ~50.7 dB vs exact "
+                         "(GELU_QUALITY.json; sets DIFFBIR_TPU_FAST_GELU=1)")
     ap.add_argument("--fused_ffn", action="store_true",
                     help="Pallas fused GEGLU-MLP serving mode "
                          "(sets DIFFBIR_TPU_FUSED_FFN=1; see ops/fused_ffn.py)")
@@ -213,6 +217,8 @@ def main():
     args = ap.parse_args()
     if args.fused_ffn:
         os.environ["DIFFBIR_TPU_FUSED_FFN"] = "1"  # read at trace time
+    if args.fast_gelu:
+        os.environ["DIFFBIR_TPU_FAST_GELU"] = "1"  # read at trace time
 
     import run_gradio
 
