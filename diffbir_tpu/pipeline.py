@@ -321,7 +321,7 @@ class Pipeline:
         ``generate`` (same ops in the same order, rng chain threaded
         through the carry), but no single dispatch runs long enough to
         trip the axon worker's execution watchdog (~100 s; bisected in
-        scripts/repro_monster.py, r5). Spaced sampler only."""
+        scripts/repro_monster.py, r5). Spaced + DDIM samplers."""
         cldm, schedule = self.cldm, self.schedule
 
         def prep(params, cond_img, pos_tok, neg_tok, rng):
@@ -508,12 +508,13 @@ class Pipeline:
         # 50 steps (~50 s); above that budget, split the denoise into
         # several bounded dispatches with the carry threaded through on
         # host — EXACT math (same ops, same order, same rng chain), unlike
-        # the tiling fallback. Spaced sampler only for now. 0 disables.
+        # the tiling fallback. Spaced + DDIM for now. 0 disables.
         budget = int(
             os.environ.get("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", str(36864 * 50))
         )
         n_seg = 1
-        if (budget > 0 and sampler_type == "spaced" and not cldm_tiled
+        if (budget > 0 and sampler_type in ("spaced", "ddim")
+                and not cldm_tiled
                 and control_interval == 1 and h1 * w1 * steps > budget):
             max_chunk = max(1, budget // (h1 * w1))
             n_min = -(-steps // max_chunk)

@@ -37,28 +37,18 @@ class DDIMSampler(Sampler):
         )
         return ts.astype(np.float32)
 
-    def sample(
-        self,
-        model_fn: ModelFn,
-        x_T: jax.Array,
-        cond: Mapping[str, jax.Array],
-        uncond: Optional[Mapping[str, jax.Array]],
-        cfg_scale: float,
-        steps: int,
-        rng: jax.Array,
-        discretize: str = "uniform",
-        cond_fn=None,
-        guidance_target: Optional[jax.Array] = None,
-    ) -> jax.Array:
+    def make_tables(self, steps: int, cfg_scale: float, cond_fn=None,
+                    discretize: str = "uniform"):
+        """Host per-step rows, high noise -> low noise — sliceable for
+        chunked dispatch (see sampler/spaced.py docstring)."""
         ts, alphas, alphas_prev, sigmas = make_ddim_params(
             self.training_betas, steps, self.eta, discretize
         )
         order = np.arange(len(ts))[::-1]
         g_on = np.zeros(len(ts), np.bool_)
         if cond_fn is not None:
-            assert guidance_target is not None, "guidance needs a target"
             g_on = guidance_gate(cond_fn, ts[order])
-        tables = {
+        return {
             "model_t": ts[order].astype(np.float32),
             "a_t": alphas[order].astype(np.float32),
             "a_prev": alphas_prev[order].astype(np.float32),
@@ -66,11 +56,20 @@ class DDIMSampler(Sampler):
             "cfg": self.cfg_scales(cfg_scale, ts[order]),
             "g_on": g_on,
         }
-        tables = {k: jnp.asarray(v) for k, v in tables.items()}
-        bs = x_T.shape[0]
+
+    def scan_tables(
+        self,
+        model_fn: ModelFn,
+        carry,
+        tables,
+        cond: Mapping[str, jax.Array],
+        uncond: Optional[Mapping[str, jax.Array]],
+        cond_fn=None,
+        guidance_target: Optional[jax.Array] = None,
+    ):
+        bs = carry[0].shape[0]
         v_param = self.parameterization == "v"
         has_aux = getattr(model_fn, "has_aux", False)
-        aux0 = model_fn.init_aux() if has_aux else None
 
         def body(carry, row):
             x, rng, aux = carry
@@ -100,5 +99,34 @@ class DDIMSampler(Sampler):
             x = jnp.sqrt(row["a_prev"]) * pred_x0 + dir_xt + noise
             return (x, rng, aux), None
 
-        (x, _, _), _ = jax.lax.scan(body, (x_T, rng, aux0), tables)
+        carry, _ = jax.lax.scan(body, carry, tables)
+        return carry
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        x_T: jax.Array,
+        cond: Mapping[str, jax.Array],
+        uncond: Optional[Mapping[str, jax.Array]],
+        cfg_scale: float,
+        steps: int,
+        rng: jax.Array,
+        discretize: str = "uniform",
+        cond_fn=None,
+        guidance_target: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if cond_fn is not None:
+            assert guidance_target is not None, "guidance needs a target"
+        tables = {
+            k: jnp.asarray(v)
+            for k, v in self.make_tables(
+                steps, cfg_scale, cond_fn, discretize
+            ).items()
+        }
+        has_aux = getattr(model_fn, "has_aux", False)
+        aux0 = model_fn.init_aux() if has_aux else None
+        (x, _, _) = self.scan_tables(
+            model_fn, (x_T, rng, aux0), tables, cond, uncond,
+            cond_fn=cond_fn, guidance_target=guidance_target,
+        )
         return x

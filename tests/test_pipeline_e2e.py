@@ -308,3 +308,14 @@ def test_spaced_scan_tables_segments_bitexact():
         carry = seg(carry, tbl)
         lo += sz
     np.testing.assert_array_equal(np.asarray(carry[0]), np.asarray(base))
+
+
+def test_e2e_chunked_dispatch_ddim(tiny_pipe, monkeypatch, capsys):
+    """DDIM shares the chunked-dispatch driver (make_tables/scan_tables)."""
+    lq = np.random.default_rng(5).integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "0")
+    base = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type="ddim", seed=3)
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "512")
+    out = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type="ddim", seed=3)
+    assert "splitting the denoise into 3 dispatches" in capsys.readouterr().out
+    assert int(np.max(np.abs(out.astype(int) - base.astype(int)))) <= 1
