@@ -197,6 +197,17 @@ def main():
                      lambda x, approximate=False: x):
             no_gelu = time_step(cldm, params, "geglu gelu -> mul only")
         print(f"{'-> gelu share':42s} {(full - no_gelu) * 1e3:8.2f} ms")
+
+        # SiLU share (ResBlock GN->silu pairs + temb MLPs): sigmoid is the
+        # same VPU-transcendental class the gelu win came from
+        with patched(unet_mod.nn, "silu", lambda x: x):
+            no_silu = time_step(cldm, params, "silu -> identity")
+        print(f"{'-> silu share':42s} {(full - no_silu) * 1e3:8.2f} ms")
+        # hard-silu approximation (x * relu6(x+3)/6): no transcendental
+        with patched(unet_mod.nn, "silu", unet_mod.nn.hard_silu):
+            hard = time_step(cldm, params, "silu -> hard_silu")
+        print(f"{'-> hard-silu delta (neg = win)':42s} "
+              f"{(hard - full) * 1e3:8.2f} ms")
         return
 
     if "--trace" in sys.argv:
