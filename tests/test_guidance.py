@@ -151,3 +151,23 @@ def test_cldm_tiled_auto_disable_non_x64_input():
         cldm_tiled=True, cldm_tile_size=512, cldm_tile_stride=256,
     )
     assert out.shape == (1, 88, 104, 3)
+
+
+def test_guidance_through_chunked_dispatch(monkeypatch):
+    """Restoration guidance must survive the chunked-dispatch split
+    (DIFFBIR_TPU_DISPATCH_TOKEN_STEPS): the cond_fn + target are threaded
+    into every scan segment, matching the monolithic program to 1 LSB."""
+    lq = np.random.default_rng(6).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    g = MSEGuidance(scale=0.05, t_start=1001, t_stop=-1, space="latent", repeat=1)
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "0")
+    pipe = _tiny_pipe(cond_fn=g)
+    base = pipe.run(lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=2)
+    # 64x64 cond -> 8x8 latent = 64 tokens; budget 128 -> 2 steps/seg
+    monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "128")
+    out = pipe.run(lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=2)
+    assert int(np.max(np.abs(out.astype(int) - base.astype(int)))) <= 1
+    # rgb-space guidance (grad through the VAE decode) in the segment jit
+    g2 = MSEGuidance(scale=0.05, t_start=1001, t_stop=-1, space="rgb", repeat=1)
+    pipe2 = _tiny_pipe(cond_fn=g2)
+    out2 = pipe2.run(lq, steps=4, cfg_scale=2.0, sampler_type="spaced", seed=2)
+    assert out2.shape == base.shape
