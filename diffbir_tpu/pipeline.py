@@ -321,7 +321,8 @@ class Pipeline:
         ``generate`` (same ops in the same order, rng chain threaded
         through the carry), but no single dispatch runs long enough to
         trip the axon worker's execution watchdog (~100 s; bisected in
-        scripts/repro_monster.py, r5). Spaced + DDIM samplers."""
+        scripts/repro_monster.py, r5). Spaced, DDIM and the EDM scan
+        solvers (each exposes make_tables/init_carry/scan_tables)."""
         cldm, schedule = self.cldm, self.schedule
 
         def prep(params, cond_img, pos_tok, neg_tok, rng):
@@ -431,7 +432,7 @@ class Pipeline:
                 params, cond_img, pos_tok, neg_tok, rng
             )
             jax.block_until_ready(x_T)
-            carry = (x_T, k_sample, None)
+            carry = sampler.init_carry(x_T, k_sample, steps)
             lo = 0
             for sz in sizes:
                 tbl = {
@@ -508,12 +509,15 @@ class Pipeline:
         # 50 steps (~50 s); above that budget, split the denoise into
         # several bounded dispatches with the carry threaded through on
         # host — EXACT math (same ops, same order, same rng chain), unlike
-        # the tiling fallback. Spaced + DDIM for now. 0 disables.
+        # the tiling fallback. Spaced, DDIM and the EDM scan solvers
+        # (3m_sde/2m_sde/euler_a — the CLI default family). 0 disables.
         budget = int(
             os.environ.get("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", str(36864 * 50))
         )
         n_seg = 1
-        if (budget > 0 and sampler_type in ("spaced", "ddim")
+        chunkable = ("spaced", "ddim", "edm_dpm++_3m_sde",
+                     "edm_dpm++_2m_sde", "edm_euler_a")
+        if (budget > 0 and sampler_type in chunkable
                 and not cldm_tiled
                 and control_interval == 1 and h1 * w1 * steps > budget):
             max_chunk = max(1, budget // (h1 * w1))

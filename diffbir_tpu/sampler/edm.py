@@ -304,11 +304,7 @@ class EDMSampler(Sampler):
 
         return denoise, aux0
 
-    def _sample_2m_sde_scan(
-        self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
-        v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
-    ):
-        """dpm++_2m_sde (midpoint) as one lax.scan; carry = old denoised."""
+    def _rows_2m_sde(self, sigmas, ts, cfg_scale, v_param):
         n = len(sigmas) - 1
         eta, s_noise = self.eta, self.s_noise
         rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
@@ -329,14 +325,16 @@ class EDMSampler(Sampler):
             if eta:
                 rows["noise"][i] = sigmas[i + 1] * np.sqrt(-np.expm1(-2 * eta_h)) * s_noise
             h_last = h
-        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        if cond_fn is not None:
-            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
-        if noise_table is not None:
-            tables["inj"] = jnp.asarray(noise_table, x.dtype)
-        denoise, aux0 = self._scan_denoiser(
+        return rows
+
+    def _scan_2m_sde(self, model_fn, carry, tables, cond, uncond,
+                     cond_fn=None, guidance_target=None):
+        use_cfg = uncond is not None
+        bs = carry[0].shape[0]
+        denoise, _ = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
         )
+        inj = "inj" in tables
 
         def body(carry, row):
             x, old, key, aux = carry
@@ -344,20 +342,36 @@ class EDMSampler(Sampler):
             denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - old)
-            z = row["inj"] if noise_table is not None else jax.random.normal(
+            z = row["inj"] if inj else jax.random.normal(
                 k_noise, x.shape, x.dtype)
             x_new = x_new + row["noise"] * z
             return (x_new, denoised, key, aux), None
 
-        (x, _, _, _), _ = jax.lax.scan(
-            body, (x, jnp.zeros_like(x), rng, aux0), tables)
-        return x
+        carry, _ = jax.lax.scan(body, carry, tables)
+        return carry
 
-    def _sample_euler_a_scan(
+    def _sample_2m_sde_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
         v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
     ):
-        """Euler-ancestral as one lax.scan (no carry beyond x)."""
+        """dpm++_2m_sde (midpoint) as one lax.scan; carry = old denoised."""
+        rows = self._rows_2m_sde(sigmas, ts, cfg_scale, v_param)
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
+        _, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
+        carry = self._scan_2m_sde(
+            model_fn, (x, jnp.zeros_like(x), rng, aux0), tables,
+            cond, uncond if use_cfg else None,
+            cond_fn=cond_fn, guidance_target=guidance_target,
+        )
+        return carry[0]
+
+    def _rows_euler_a(self, sigmas, ts, cfg_scale, v_param):
         n = len(sigmas) - 1
         rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
         for k in ("a", "b", "noise"):
@@ -369,42 +383,52 @@ class EDMSampler(Sampler):
             rows["b"][i] = -ratio
             if sigmas[i + 1] > 0:
                 rows["noise"][i] = self.s_noise * su
-        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        if cond_fn is not None:
-            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
-        if noise_table is not None:
-            tables["inj"] = jnp.asarray(noise_table, x.dtype)
-        denoise, aux0 = self._scan_denoiser(
+        return rows
+
+    def _scan_euler_a(self, model_fn, carry, tables, cond, uncond,
+                      cond_fn=None, guidance_target=None):
+        use_cfg = uncond is not None
+        bs = carry[0].shape[0]
+        denoise, _ = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
         )
+        inj = "inj" in tables
 
         def body(carry, row):
             x, key, aux = carry
             key, k_noise = jax.random.split(key)
             denoised, aux = denoise(x, row, aux)
             x_new = row["a"] * x + row["b"] * denoised
-            z = row["inj"] if noise_table is not None else jax.random.normal(
+            z = row["inj"] if inj else jax.random.normal(
                 k_noise, x.shape, x.dtype)
             x_new = x_new + row["noise"] * z
             return (x_new, key, aux), None
 
-        (x, _, _), _ = jax.lax.scan(body, (x, rng, aux0), tables)
-        return x
+        carry, _ = jax.lax.scan(body, carry, tables)
+        return carry
 
-    # ------------------------------------------------------------------ #
-    def _sample_3m_sde_scan(
+    def _sample_euler_a_scan(
         self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
         v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
     ):
-        """dpm++_3m_sde (the default CLI solver) as ONE lax.scan.
+        """Euler-ancestral as one lax.scan (no carry beyond x)."""
+        rows = self._rows_euler_a(sigmas, ts, cfg_scale, v_param)
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
+        _, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
+        carry = self._scan_euler_a(
+            model_fn, (x, rng, aux0), tables,
+            cond, uncond if use_cfg else None,
+            cond_fn=cond_fn, guidance_target=guidance_target,
+        )
+        return carry[0]
 
-        All per-step scalars — the denoiser's c_skip/c_out/c_in and model-t,
-        the x/denoised coefficients exp(-h_eta) / -expm1(-h_eta), the
-        multistep correction coefficients (folded into two linear terms in
-        (denoised - d1) and (d1 - d2), zeroed for the warmup steps), and the
-        SDE noise scale — are host-precomputed float64 tables; the carry
-        holds the two previous denoised tensors.
-        """
+    def _rows_3m_sde(self, sigmas, ts, cfg_scale, v_param):
         n = len(sigmas) - 1
         eta, s_noise = self.eta, self.s_noise
         rows = self._denoiser_rows(sigmas, ts, cfg_scale, v_param, n)
@@ -434,30 +458,107 @@ class EDMSampler(Sampler):
                     sigmas[i + 1] * np.sqrt(-np.expm1(-2 * h * eta)) * s_noise
                 )
             h_1, h_2 = h, h_1
-        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
-        if cond_fn is not None:
-            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
-        if noise_table is not None:
-            tables["inj"] = jnp.asarray(noise_table, x.dtype)
+        return rows
 
-        denoise, aux0 = self._scan_denoiser(
+    def _scan_3m_sde(self, model_fn, carry, tables, cond, uncond,
+                     cond_fn=None, guidance_target=None):
+        use_cfg = uncond is not None
+        bs = carry[0].shape[0]
+        denoise, _ = self._scan_denoiser(
             model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
         )
+        inj = "inj" in tables
 
         def body(carry, row):
             x, d1, d2, key, aux = carry
             key, k_noise = jax.random.split(key)
             denoised, aux = denoise(x, row, aux)
-
             x_new = row["a"] * x + row["b"] * denoised
             x_new = x_new + row["coefA"] * (denoised - d1) + row["coefB"] * (d1 - d2)
-            noise = row["inj"] if noise_table is not None else jax.random.normal(
+            noise = row["inj"] if inj else jax.random.normal(
                 k_noise, x.shape, x.dtype)
             x_new = x_new + row["noise"] * noise
             return (x_new, denoised, d1, key, aux), None
 
+        carry, _ = jax.lax.scan(body, carry, tables)
+        return carry
+
+    # -------------------------------------------------------------- #
+    # Chunked-dispatch protocol (sampler/spaced.py docstring): the
+    # pipeline splits one denoise into several bounded dispatches. Scan
+    # solvers only — their multistep coefficients live in the per-step
+    # rows, so slicing tables + threading the (x, d1, d2, rng, aux)
+    # carry reproduces the single scan exactly.
+    _CHUNKABLE = ("dpm++_3m_sde", "dpm++_2m_sde", "euler_a")
+
+    def make_tables(self, steps: int, cfg_scale: float, cond_fn=None):
+        if self.solver_type not in self._CHUNKABLE:
+            raise NotImplementedError(
+                f"chunked dispatch: no table builder for {self.solver_type}"
+            )
+        sigmas, ts = self.make_schedule(steps)
+        v_param = self.parameterization == "v"
+        rows = {
+            "dpm++_3m_sde": self._rows_3m_sde,
+            "dpm++_2m_sde": self._rows_2m_sde,
+            "euler_a": self._rows_euler_a,
+        }[self.solver_type](sigmas, ts, cfg_scale, v_param)
+        rows = {k: np.asarray(v, np.float32) for k, v in rows.items()}
+        if cond_fn is not None:
+            rows["g_on"] = guidance_gate(cond_fn, rows["t_model"])
+        return rows
+
+    def init_carry(self, x_T, rng, steps: int):
+        """Initial scan carry (aux=None: turbo is excluded from chunking).
+        Includes the EDM noise pre-scaling x = x_T * sqrt(1 + sigma0^2)."""
+        sigmas, _ = self.make_schedule(steps)
+        x = x_T * np.sqrt(1.0 + float(sigmas[0]) ** 2)
+        z = jnp.zeros_like(x)
+        if self.solver_type == "euler_a":
+            return (x, rng, None)
+        if self.solver_type == "dpm++_2m_sde":
+            return (x, z, rng, None)
+        return (x, z, z, rng, None)
+
+    def scan_tables(self, model_fn, carry, tables, cond, uncond,
+                    cond_fn=None, guidance_target=None):
+        scan = {
+            "dpm++_3m_sde": self._scan_3m_sde,
+            "dpm++_2m_sde": self._scan_2m_sde,
+            "euler_a": self._scan_euler_a,
+        }[self.solver_type]
+        return scan(model_fn, carry, tables, cond, uncond,
+                    cond_fn=cond_fn, guidance_target=guidance_target)
+
+    # ------------------------------------------------------------------ #
+    def _sample_3m_sde_scan(
+        self, model_fn, x, sigmas, ts, cond, uncond, cfg_scale, rng, bs,
+        v_param, use_cfg, cond_fn=None, guidance_target=None, noise_table=None,
+    ):
+        """dpm++_3m_sde (the default CLI solver) as ONE lax.scan.
+
+        All per-step scalars — the denoiser's c_skip/c_out/c_in and model-t,
+        the x/denoised coefficients exp(-h_eta) / -expm1(-h_eta), the
+        multistep correction coefficients (folded into two linear terms in
+        (denoised - d1) and (d1 - d2), zeroed for the warmup steps), and the
+        SDE noise scale — are host-precomputed float64 tables; the carry
+        holds the two previous denoised tensors.
+        """
+        rows = self._rows_3m_sde(sigmas, ts, cfg_scale, v_param)
+        tables = {k: jnp.asarray(v, jnp.float32) for k, v in rows.items()}
+        if cond_fn is not None:
+            tables["g_on"] = jnp.asarray(guidance_gate(cond_fn, rows["t_model"]))
+        if noise_table is not None:
+            tables["inj"] = jnp.asarray(noise_table, x.dtype)
+        _, aux0 = self._scan_denoiser(
+            model_fn, cond, uncond, use_cfg, bs, cond_fn, guidance_target
+        )
         init = (x, jnp.zeros_like(x), jnp.zeros_like(x), rng, aux0)
-        (x, _, _, _, _), _ = jax.lax.scan(body, init, tables)
+        carry = self._scan_3m_sde(
+            model_fn, init, tables, cond, uncond if use_cfg else None,
+            cond_fn=cond_fn, guidance_target=guidance_target,
+        )
+        x = carry[0]
         return x
 
     # ------------------------------------------------------------------ #

@@ -61,6 +61,11 @@ class SpacedSampler(Sampler):
             "g_on": g_on,
         }
 
+    def init_carry(self, x_T, rng, steps: int):
+        """Initial scan carry for chunked dispatch (aux=None: turbo is
+        excluded from chunking)."""
+        return (x_T, rng, None)
+
     def scan_tables(
         self,
         model_fn: ModelFn,

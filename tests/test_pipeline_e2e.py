@@ -319,3 +319,16 @@ def test_e2e_chunked_dispatch_ddim(tiny_pipe, monkeypatch, capsys):
     out = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type="ddim", seed=3)
     assert "splitting the denoise into 3 dispatches" in capsys.readouterr().out
     assert int(np.max(np.abs(out.astype(int) - base.astype(int)))) <= 1
+
+
+def test_e2e_chunked_dispatch_edm(tiny_pipe, monkeypatch, capsys):
+    """The EDM scan solvers (the default CLI family) share the chunked-
+    dispatch protocol; carry holds the multistep history tensors."""
+    lq = np.random.default_rng(7).integers(0, 255, (1, 128, 128, 3), dtype=np.uint8)
+    for sampler in ("edm_dpm++_3m_sde", "edm_euler_a"):
+        monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "0")
+        base = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type=sampler, seed=11)
+        monkeypatch.setenv("DIFFBIR_TPU_DISPATCH_TOKEN_STEPS", "512")
+        out = tiny_pipe.run(lq, steps=6, cfg_scale=2.0, sampler_type=sampler, seed=11)
+        assert "splitting the denoise into 3 dispatches" in capsys.readouterr().out
+        assert int(np.max(np.abs(out.astype(int) - base.astype(int)))) <= 1, sampler
